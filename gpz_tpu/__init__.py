@@ -1,0 +1,55 @@
+"""gpz_tpu — a TPU-native sparse heteroscedastic Gaussian-process framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the GPz basis-function model
+(reference: OxfordML/GPz, MATLAB). The model is a linear combination of m
+anisotropic Gaussian radial basis functions where both the predictive mean and
+the log noise variance are linear in the basis activations; hyperparameters are
+MAP-fit by maximizing the exact log marginal likelihood with a fully
+jit-compiled L-BFGS + strong-Wolfe optimizer.
+
+Capabilities (parity surface with the reference):
+  * six covariance parameterizations GL/VL/GD/VD/GC/VC (ref README.md:16-22)
+  * heteroscedastic noise modelling (ref GPz/getPHI.m:121-125)
+  * input-noise (Psi) propagation via Gaussian convolution (ref getPHI.m:84-105)
+  * missing-data marginalization for NaN inputs (ref getPHI.m:43-54)
+  * cost-sensitive sample weighting omega (ref GPz/getOmega.m)
+  * train/valid model selection with early stopping (ref GPz/callBack.m)
+  * full uncertainty decomposition sigma = nu + beta_i + gamma
+    (ref GPz/predict.m:72)
+
+TPU-first design (not a port):
+  * parameters are a typed pytree, not a packed flat vector
+  * the 6 methods are one broadcast-parameterized kernel family
+  * missing data becomes masked dense linear algebra, not row-group loops
+  * the full analytic gradient comes from jax.grad, not 200 lines of chain rule
+  * the training loop (L-BFGS + Wolfe + early stopping) is one lax.while_loop
+    running entirely on device
+  * the sample axis n is sharded over a device mesh with psum reductions at the
+    Gram/gradient accumulation points (gpz_tpu.parallel)
+"""
+
+from gpz_tpu.config import ModelConfig, TrainConfig, PredictConfig
+from gpz_tpu.params import GPzParams
+from gpz_tpu.dataset import Dataset
+try:  # model layer lands after the numerics substrate during bring-up
+    from gpz_tpu.model import GPzModel, init, train, predict  # noqa: E402
+except ImportError:  # pragma: no cover
+    GPzModel = init = train = predict = None
+from gpz_tpu import linalg, metrics, datautils  # noqa: E402
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "ModelConfig",
+    "TrainConfig",
+    "PredictConfig",
+    "GPzParams",
+    "Dataset",
+    "GPzModel",
+    "init",
+    "train",
+    "predict",
+    "linalg",
+    "metrics",
+    "datautils",
+]

@@ -1,0 +1,93 @@
+"""Typed configuration objects.
+
+The reference passes MATLAB name/value pairs parsed at each API entry
+(ref GPz/init.m:6-10, GPz/train.m:25-28, GPz/predict.m:5-8); here they are
+explicit frozen dataclasses with the same names and defaults.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+METHODS = ("GL", "VL", "GD", "VD", "GC", "VC")
+
+#: methods with full (d x d) covariance per basis — the 'C' family
+FULL_COV_METHODS = ("GC", "VC")
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Static model structure. Hashable: usable as a jit static argument.
+
+    Mirrors the `model` struct fields of ref GPz/init.m:16-20.
+    """
+
+    m: int                      # number of basis functions
+    d: int                      # input dimensionality
+    k: int = 1                  # output dimensionality
+    method: str = "VL"          # one of GL/VL/GD/VD/GC/VC
+    heteroscedastic: bool = True
+    normalize: bool = True
+    dtype: str = "float32"      # compute dtype ("float32" on TPU, "float64" for parity tests)
+
+    def __post_init__(self):
+        if self.method not in METHODS:
+            raise ValueError(f"method must be one of {METHODS}, got {self.method!r}")
+        if self.m <= 0 or self.d <= 0 or self.k <= 0:
+            raise ValueError("m, d, k must be positive")
+
+    @property
+    def full_cov(self) -> bool:
+        return self.method in FULL_COV_METHODS
+
+    @property
+    def gamma_shape(self) -> tuple:
+        """Canonical storage shape of the length-scale parameter Gamma.
+
+        Shapes are chosen so that `jnp.broadcast_to` expands them to the
+        working shape ((m, d) for the diagonal family, (m, d, d) for the full
+        family) — broadcasting makes jax.grad produce exactly the per-method
+        gradient reductions of ref GPz/GPz.m:215-225 automatically.
+
+        Degrees of freedom match ref GPz/init.m:65-86:
+        GL=1, VL=m, GD=d, VD=m*d, GC=d*d, VC=m*d*d.
+        """
+        m, d = self.m, self.d
+        return {
+            "GL": (1, 1),
+            "VL": (m, 1),
+            "GD": (1, d),
+            "VD": (m, d),
+            "GC": (1, d, d),
+            "VC": (m, d, d),
+        }[self.method]
+
+    @property
+    def gamma_expanded_shape(self) -> tuple:
+        m, d = self.m, self.d
+        return (m, d, d) if self.full_cov else (m, d)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimization options (ref GPz/train.m:25-28 + minFunc defaults)."""
+
+    max_iter: int = 200
+    max_attempts: Optional[int] = None   # None == inf (ref default maxAttempts=inf)
+    # minFunc L-BFGS defaults (ref minFunc.m:96-101,178)
+    history: int = 100                   # L-BFGS correction pairs (ref Corr=100)
+    opt_tol: float = 1e-5
+    prog_tol: float = 1e-9
+    c1: float = 1e-4
+    c2: float = 0.9
+    max_ls: int = 25
+    verbose: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class PredictConfig:
+    """Prediction options (ref GPz/predict.m:5-8)."""
+
+    which_set: str = "best"      # "best" | "last"
+    batch_size: int = 4096       # host-side chunking of the O(n m^2) moment pass

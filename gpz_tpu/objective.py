@@ -1,0 +1,180 @@
+"""Negative log marginal likelihood, posterior solve, and metrics.
+
+The heart of the model — equivalent of ref GPz/GPz.m (263 lines of hand-derived
+gradient chain rule), expressed as a pure function whose exact gradient comes
+from `jax.grad`. The math (ref GPz/GPz.m:43-110):
+
+  beta      = exp(-lnBeta_i)                       noise precisions (n, k)
+  SIGMA_k   = PHI^T diag(omega * beta_k) PHI + diag(alpha_k)
+  w_k       = SIGMA_k^-1 PHI^T (omega * beta_k * y_k)
+  logML     = sum_k [ -1/2 sum_i omega_i beta_ik delta_ik^2
+                      -1/2 sum_j alpha_jk w_jk^2 + 1/2 sum_j lnalpha_jk
+                      -1/2 logdet SIGMA_k - 1/2 sum_i lnBeta_ik omega_i ]
+              (+ heteroscedastic prior terms on v with lnTau, GPz.m:96-108)
+              - k/2 log(2 pi) sum_i omega_i
+  nlogML    = -logML / (n_eff * k)
+
+NB: the reference's 2pi constant (GPz.m:110) omits the factor k for k > 1;
+here the mathematically correct k factor is used (identical for k == 1, and a
+constant offset otherwise, so optimization is unaffected).
+
+The train/valid metrics that the reference smuggles through MATLAB globals
+(GPz.m:236-259 -> callBack.m) are explicit aux outputs here.
+
+Every sample-indexed reduction is a weighted sum against `omega`, so zero-
+padded rows (omega == 0) contribute exactly nothing — this is the invariant
+the sharded path (gpz_tpu.parallel) relies on.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from gpz_tpu.config import ModelConfig
+from gpz_tpu.dataset import Dataset
+from gpz_tpu.params import GPzParams
+from gpz_tpu.phi import design_matrix
+from gpz_tpu.linalg import safe_cholesky, chol_logdet, chol_solve
+
+_LN2PI = math.log(2.0 * math.pi)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Aux:
+    """Per-evaluation aux outputs (the reference's global side channel)."""
+
+    w: jax.Array            # (m, k) posterior mean weights
+    train_rmse: jax.Array   # scalar
+    train_ll: jax.Array     # scalar (mean log likelihood)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Posterior:
+    """Posterior state stored per parameter set (ref train.m:53-58)."""
+
+    w: jax.Array            # (m, k)
+    iSigma_w: jax.Array     # (k, m, m) inverse of the Gram SIGMA
+    logdet: jax.Array       # (k,)
+
+
+def _gram_terms(params: GPzParams, cfg: ModelConfig, data: Dataset, complete: bool):
+    """Shared forward computation: PHI, noise, Gram factor, posterior weights."""
+    PHI, _, ln_beta = design_matrix(params, cfg, data.X, data.mask, data.psi, complete)
+    beta = jnp.exp(-ln_beta)                             # (n, k)
+    ob = data.omega[:, None] * beta                      # (n, k)
+    alpha = jnp.exp(params.ln_alpha)                     # (m, k)
+
+    # SIGMA_k = PHI^T diag(ob_k) PHI + diag(alpha_k)   (ref GPz.m:63-65)
+    A = jnp.einsum("nm,nk,nj->kmj", PHI, ob, PHI)
+    SIGMA = A + jax.vmap(jnp.diag)(alpha.T)              # (k, m, m)
+    L = safe_cholesky(SIGMA)
+    logdet = chol_logdet(L)                              # (k,)
+
+    rhs = PHI.T @ (ob * data.Y)                          # (m, k)
+    w = chol_solve(L, rhs.T[..., None])[..., 0].T        # (m, k)
+    return PHI, ln_beta, beta, ob, alpha, L, logdet, w
+
+
+def nlog_ml(
+    params: GPzParams,
+    data: Dataset,
+    cfg: ModelConfig,
+    n_eff: Optional[jax.Array] = None,
+    complete: bool = False,
+):
+    """Negative mean log marginal likelihood and aux metrics.
+
+    `n_eff` — number of real (unpadded) samples; defaults to data.n.
+    Differentiate with `jax.value_and_grad(nlog_ml, has_aux=True)`: the full
+    analytic gradient of ref GPz.m:89-234 falls out of AD.
+    """
+    if n_eff is None:
+        n_eff = jnp.asarray(data.n, data.X.dtype)
+    k = cfg.k
+    PHI, ln_beta, beta, ob, alpha, L, logdet, w = _gram_terms(
+        params, cfg, data, complete
+    )
+
+    delta = PHI @ w - data.Y                             # (n, k)
+    obd = ob * delta
+
+    # per-k evidence terms (ref GPz.m:81-82)
+    log_ml = (
+        -0.5 * jnp.sum(obd * delta, axis=0)
+        - 0.5 * jnp.sum(alpha * w**2, axis=0)
+        + 0.5 * jnp.sum(params.ln_alpha, axis=0)
+        - 0.5 * logdet
+        - 0.5 * jnp.sum(ln_beta * data.omega[:, None], axis=0)
+    )
+
+    if params.heteroscedastic:
+        tau = jnp.exp(params.ln_tau)
+        # prior on v (ref GPz.m:103)
+        log_ml = log_ml + (
+            -0.5 * jnp.sum(params.v**2 * tau, axis=0)
+            + 0.5 * jnp.sum(params.ln_tau, axis=0)
+            - 0.5 * cfg.m * _LN2PI
+        )
+
+    total = jnp.sum(log_ml) - 0.5 * _LN2PI * k * jnp.sum(data.omega)
+    nlml = -total / (n_eff * k)
+
+    # train metrics (ref GPz.m:236-237), explicit instead of globals
+    train_rmse = jnp.sqrt(jnp.sum(data.omega[:, None] * delta**2) / (n_eff * k))
+    train_ll = (
+        jnp.sum(data.omega[:, None] * (-0.5 * beta * delta**2 - 0.5 * ln_beta))
+        / (n_eff * k)
+        - 0.5 * _LN2PI
+    )
+    return nlml, Aux(w=w, train_rmse=train_rmse, train_ll=train_ll)
+
+
+def posterior(
+    params: GPzParams,
+    data: Dataset,
+    cfg: ModelConfig,
+    complete: bool = False,
+) -> Posterior:
+    """Posterior weights + full Gram inverse (the reference's "weights-only"
+    nargout trick, GPz.m:84-87, made an explicit function per SURVEY §3.4)."""
+    _, _, _, _, _, L, logdet, w = _gram_terms(params, cfg, data, complete)
+    m = cfg.m
+    eye = jnp.broadcast_to(jnp.eye(m, dtype=data.X.dtype), (cfg.k, m, m))
+    iSigma_w = chol_solve(L, eye)
+    return Posterior(w=w, iSigma_w=iSigma_w, logdet=logdet)
+
+
+def holdout_metrics(
+    params: GPzParams,
+    w: jax.Array,
+    data: Dataset,
+    cfg: ModelConfig,
+    n_eff: Optional[jax.Array] = None,
+    complete: bool = False,
+):
+    """Validation RMSE / mean-log-likelihood given training weights w.
+
+    Equivalent of the validation block of ref GPz.m:239-259 (which reuses the
+    training posterior's w; nu is computed there but unused by the metrics).
+    Returns (rmse, ll).
+    """
+    if n_eff is None:
+        n_eff = jnp.asarray(data.n, data.X.dtype)
+    PHI, _, ln_beta = design_matrix(params, cfg, data.X, data.mask, data.psi, complete)
+    beta = jnp.exp(-ln_beta)
+    delta = PHI @ w - data.Y
+    k = cfg.k
+    rmse = jnp.sqrt(jnp.sum(data.omega[:, None] * delta**2) / (n_eff * k))
+    ll = (
+        jnp.sum(data.omega[:, None] * (-0.5 * beta * delta**2 - 0.5 * ln_beta))
+        / (n_eff * k)
+        - 0.5 * _LN2PI
+    )
+    return rmse, ll

@@ -1,0 +1,578 @@
+"""Jit-compiled L-BFGS with strong-Wolfe line search and early stopping.
+
+TPU-native replacement for the reference optimizer stack — the whole training
+loop is a single `lax.while_loop` on device, so theta, the gradient, and the
+curvature history never leave HBM:
+
+  * two-loop recursion over a fixed-size circular history buffer
+    (ref minFunc/lbfgsProd.m, lbfgsAdd.m and their C twins
+    minFunc/mex/lbfgsProdC.c:46-88, lbfgsAddC.c — the in-place column writes
+    become XLA donated-buffer dynamic updates)
+  * curvature-pair skip rule y's > 1e-10 and Hdiag = ys/yy scaling
+    (ref lbfgsAdd.m:5-29)
+  * strong-Wolfe bracketing + zoom with cubic interpolation
+    (ref minFunc/WolfeLineSearch.m:50-241, polyinterp.m), with non-finite
+    trial values treated as +inf so the search backtracks — the role of the
+    reference's Armijo fallback (WolfeLineSearch.m:53-69)
+  * termination on max|g| <= optTol, step/function progress <= progTol,
+    maxIter (ref minFunc.m:96-97,1118-1147)
+  * validation-score early stopping with best-iterate tracking — the explicit
+    carried-state version of the reference's globals-based callback
+    (ref GPz/callBack.m:26-34, train.m:5-9)
+
+The objective `fun` maps a flat parameter vector to (f, grad, aux); `score_fn`
+maps (x, aux) to (score, extras) where higher score is better (the reference's
+validation log-likelihood). Per-iteration scalars are recorded into fixed-size
+trace arrays (the reference's printed iteration table, callBack.m:16-46).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# status codes
+STATUS_RUNNING = 0
+STATUS_OPTIMAL = 1          # max|g| <= opt_tol
+STATUS_STEP_TOO_SMALL = 2   # progress below prog_tol
+STATUS_MAX_ITER = 3
+STATUS_EARLY_STOP = 4       # validation attempts exhausted
+STATUS_LS_FAILED = 5        # line search could not find a step
+STATUS_NO_DESCENT = 6       # directional derivative above -prog_tol
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MinimizeResult:
+    x: jax.Array               # final iterate
+    f: jax.Array
+    x_best: jax.Array          # best-scoring iterate (== x if no score_fn)
+    best_score: jax.Array
+    iterations: jax.Array
+    fun_evals: jax.Array
+    status: jax.Array
+    trace: dict                # per-iteration scalars, fixed length max_iter+1
+
+
+def _cubic_min(x1, f1, g1, x2, f2, g2, lo, hi):
+    """Minimizer of the cubic interpolating (x, f, f') at two points,
+    clamped to [lo, hi]; bisects when the interpolation is ill-posed
+    (ref minFunc/polyinterp.m closed form for the 2-point case)."""
+    d1 = g1 + g2 - 3 * (f1 - f2) / (x1 - x2)
+    rad = d1 * d1 - g1 * g2
+    sq = jnp.sqrt(jnp.maximum(rad, 0.0))
+    sq = jnp.where(x2 < x1, -sq, sq)
+    denom = g2 - g1 + 2 * sq
+    t = x2 - (x2 - x1) * (g2 + sq - d1) / denom
+    bad = (rad < 0) | ~jnp.isfinite(t) | (jnp.abs(denom) < 1e-30)
+    t = jnp.where(bad, 0.5 * (lo + hi), t)
+    return jnp.clip(t, lo, hi)
+
+
+class _LSState(NamedTuple):
+    t: jax.Array
+    f_new: jax.Array
+    g_new: jax.Array
+    aux_new: object
+    t_prev: jax.Array
+    f_prev: jax.Array
+    gtd_prev: jax.Array
+    g_prev: jax.Array
+    aux_prev: object
+    ls_iter: jax.Array
+    done: jax.Array
+    bracketed: jax.Array
+    failed: jax.Array
+    # bracket endpoints (set when bracketed)
+    t_lo: jax.Array
+    f_lo: jax.Array
+    gtd_lo: jax.Array
+    g_lo: jax.Array
+    aux_lo: object
+    t_hi: jax.Array
+    f_hi: jax.Array
+    gtd_hi: jax.Array
+
+
+def wolfe_line_search(fun, x, f0, g0, d, t0, c1, c2, max_ls, prog_tol, aux0):
+    """Strong-Wolfe line search (ref minFunc/WolfeLineSearch.m).
+
+    Returns (t, f, g, aux, n_evals, failed). On failure t == 0 and the initial
+    point is returned.
+    """
+    gtd0 = jnp.vdot(g0, d)
+    dtype = f0.dtype
+
+    def eval_at(t):
+        f, g, aux = fun(x + t * d)
+        # non-finite trial values read as +inf: the search then backtracks,
+        # playing the role of minFunc's Armijo fallback (WolfeLineSearch.m:53)
+        bad = ~jnp.isfinite(f)
+        return jnp.where(bad, jnp.inf, f), g, aux
+
+    f_t0, g_t0, aux_t0 = eval_at(t0)
+
+    init = _LSState(
+        t=t0,
+        f_new=f_t0,
+        g_new=g_t0,
+        aux_new=aux_t0,
+        t_prev=jnp.zeros((), dtype),
+        f_prev=f0,
+        gtd_prev=gtd0,
+        g_prev=g0,
+        aux_prev=aux0,
+        ls_iter=jnp.ones((), jnp.int32),
+        done=jnp.zeros((), bool),
+        bracketed=jnp.zeros((), bool),
+        failed=jnp.zeros((), bool),
+        t_lo=jnp.zeros((), dtype),
+        f_lo=f0,
+        gtd_lo=gtd0,
+        g_lo=g0,
+        aux_lo=aux0,
+        t_hi=t0,
+        f_hi=f_t0,
+        gtd_hi=jnp.vdot(g_t0, d),
+    )
+
+    # ---- phase 1: bracketing (WolfeLineSearch.m:50-119) ----
+    def brk_cond(s: _LSState):
+        return (~s.done) & (~s.bracketed) & (s.ls_iter < max_ls) & (~s.failed)
+
+    def brk_body(s: _LSState):
+        gtd_new = jnp.vdot(s.g_new, d)
+        armijo_fail = (s.f_new > f0 + c1 * s.t * gtd0) | (
+            (s.ls_iter > 1) & (s.f_new >= s.f_prev)
+        )
+        wolfe_ok = jnp.abs(gtd_new) <= -c2 * gtd0
+        curv_pos = gtd_new >= 0
+
+        bracketed = armijo_fail | (~wolfe_ok & curv_pos)
+        done = ~armijo_fail & wolfe_ok
+
+        # bracket: [prev, new] (lo/hi resolved in zoom by f ordering)
+        t_lo = jnp.where(bracketed, s.t_prev, s.t_lo)
+        f_lo = jnp.where(bracketed, s.f_prev, s.f_lo)
+        gtd_lo = jnp.where(bracketed, s.gtd_prev, s.gtd_lo)
+        g_lo = jax.tree.map(
+            lambda a, b: jnp.where(bracketed, a, b), s.g_prev, s.g_lo
+        )
+        aux_lo = jax.tree.map(
+            lambda a, b: jnp.where(bracketed, a, b), s.aux_prev, s.aux_lo
+        )
+        t_hi = jnp.where(bracketed, s.t, s.t_hi)
+        f_hi = jnp.where(bracketed, s.f_new, s.f_hi)
+        gtd_hi = jnp.where(bracketed, gtd_new, s.gtd_hi)
+
+        # extrapolate (minFunc: minStep = t + 0.01 (t - t_prev), maxStep = 10 t)
+        min_step = s.t + 0.01 * (s.t - s.t_prev)
+        max_step = s.t * 10.0
+        t_next = _cubic_min(
+            s.t_prev, s.f_prev, s.gtd_prev, s.t, s.f_new, gtd_new,
+            min_step, max_step,
+        )
+        t_next = jnp.where(jnp.isfinite(s.f_new), t_next, s.t * 0.5)
+
+        cont = ~(done | bracketed)
+        t_prev = jnp.where(cont, s.t, s.t_prev)
+        f_prev = jnp.where(cont, s.f_new, s.f_prev)
+        gtd_prev = jnp.where(cont, gtd_new, s.gtd_prev)
+        g_prev = jax.tree.map(lambda a, b: jnp.where(cont, a, b), s.g_new, s.g_prev)
+        aux_prev = jax.tree.map(
+            lambda a, b: jnp.where(cont, a, b), s.aux_new, s.aux_prev
+        )
+        t_eval = jnp.where(cont, t_next, s.t)
+        # evaluate the next trial only when continuing (skips one full
+        # objective eval on the terminating iteration)
+        f_new, g_new, aux_new = lax.cond(
+            cont,
+            lambda: eval_at(t_eval),
+            lambda: (s.f_new, s.g_new, s.aux_new),
+        )
+
+        return s._replace(
+            t=t_eval,
+            f_new=f_new,
+            g_new=g_new,
+            aux_new=aux_new,
+            t_prev=t_prev,
+            f_prev=f_prev,
+            gtd_prev=gtd_prev,
+            g_prev=g_prev,
+            aux_prev=aux_prev,
+            ls_iter=s.ls_iter + jnp.where(cont, 1, 0),
+            done=done,
+            bracketed=bracketed,
+            t_lo=t_lo,
+            f_lo=f_lo,
+            gtd_lo=gtd_lo,
+            g_lo=g_lo,
+            aux_lo=aux_lo,
+            t_hi=t_hi,
+            f_hi=f_hi,
+            gtd_hi=gtd_hi,
+        )
+
+    s = lax.while_loop(brk_cond, brk_body, init)
+
+    # ran out of bracketing budget without satisfying Wolfe: treat [0, t] as
+    # the bracket (minFunc.m behavior when LSiter == maxLS)
+    exhausted = (~s.done) & (~s.bracketed)
+    s = s._replace(
+        bracketed=s.bracketed | exhausted,
+        t_lo=jnp.where(exhausted, 0.0, s.t_lo),
+        f_lo=jnp.where(exhausted, f0, s.f_lo),
+        gtd_lo=jnp.where(exhausted, gtd0, s.gtd_lo),
+        g_lo=jax.tree.map(lambda a, b: jnp.where(exhausted, a, b), g0, s.g_lo),
+        aux_lo=jax.tree.map(
+            lambda a, b: jnp.where(exhausted, a, b), aux0, s.aux_lo
+        ),
+        t_hi=jnp.where(exhausted, s.t, s.t_hi),
+        f_hi=jnp.where(exhausted, s.f_new, s.f_hi),
+        gtd_hi=jnp.where(exhausted, jnp.vdot(s.g_new, d), s.gtd_hi),
+    )
+
+    # ---- phase 2: zoom (WolfeLineSearch.m:135-241) ----
+    # invariant maintained: (t_lo, f_lo) is the lower-f endpoint satisfying
+    # the Armijo condition; returns lo on give-up.
+    def zoom_cond(s: _LSState):
+        return (~s.done) & s.bracketed & (s.ls_iter < max_ls) & (~s.failed)
+
+    def zoom_body(s: _LSState):
+        # order endpoints for the safeguard
+        lo_b = jnp.minimum(s.t_lo, s.t_hi)
+        hi_b = jnp.maximum(s.t_lo, s.t_hi)
+        width = hi_b - lo_b
+        t = _cubic_min(
+            s.t_lo, s.f_lo, s.gtd_lo, s.t_hi, s.f_hi, s.gtd_hi,
+            lo_b, hi_b,
+        )
+        # safeguard: keep strictly interior (minFunc insufficient-progress rule)
+        t = jnp.clip(t, lo_b + 0.1 * width, hi_b - 0.1 * width)
+        t = jnp.where(jnp.isfinite(s.f_hi), t, 0.5 * (lo_b + hi_b))
+
+        f_new, g_new, aux_new = eval_at(t)
+        gtd_new = jnp.vdot(g_new, d)
+
+        armijo_fail = (f_new > f0 + c1 * t * gtd0) | (f_new >= s.f_lo)
+        wolfe_ok = jnp.abs(gtd_new) <= -c2 * gtd0
+        flip = gtd_new * (s.t_hi - s.t_lo) >= 0
+
+        done = (~armijo_fail) & wolfe_ok
+
+        # new hi: t if armijo failed; else old lo if flip
+        t_hi = jnp.where(armijo_fail, t, jnp.where(flip, s.t_lo, s.t_hi))
+        f_hi = jnp.where(armijo_fail, f_new, jnp.where(flip, s.f_lo, s.f_hi))
+        gtd_hi = jnp.where(
+            armijo_fail, gtd_new, jnp.where(flip, s.gtd_lo, s.gtd_hi)
+        )
+        # new lo: t unless armijo failed
+        upd_lo = ~armijo_fail
+        t_lo = jnp.where(upd_lo, t, s.t_lo)
+        f_lo = jnp.where(upd_lo, f_new, s.f_lo)
+        gtd_lo = jnp.where(upd_lo, gtd_new, s.gtd_lo)
+        g_lo = jax.tree.map(lambda a, b: jnp.where(upd_lo, a, b), g_new, s.g_lo)
+        aux_lo = jax.tree.map(
+            lambda a, b: jnp.where(upd_lo, a, b), aux_new, s.aux_lo
+        )
+
+        # give up when the bracket can no longer make progress
+        stall = jnp.abs(gtd_new) * jnp.abs(t_hi - t_lo) < prog_tol
+        failed = (~done) & stall
+
+        return s._replace(
+            t=t,
+            f_new=f_new,
+            g_new=g_new,
+            aux_new=aux_new,
+            ls_iter=s.ls_iter + 1,
+            done=done,
+            failed=failed,
+            t_lo=t_lo,
+            f_lo=f_lo,
+            gtd_lo=gtd_lo,
+            g_lo=g_lo,
+            aux_lo=aux_lo,
+            t_hi=t_hi,
+            f_hi=f_hi,
+            gtd_hi=gtd_hi,
+        )
+
+    s = lax.while_loop(zoom_cond, zoom_body, s)
+
+    # resolve the result: Wolfe point if done; else bracket-lo if it improves
+    # on f0; else fail
+    use_lo = (~s.done) & (s.f_lo < f0) & (s.t_lo > 0)
+    t_out = jnp.where(s.done, s.t, jnp.where(use_lo, s.t_lo, 0.0))
+    f_out = jnp.where(s.done, s.f_new, jnp.where(use_lo, s.f_lo, f0))
+    g_out = jax.tree.map(
+        lambda gn, gl, g00: jnp.where(s.done, gn, jnp.where(use_lo, gl, g00)),
+        s.g_new, s.g_lo, g0,
+    )
+    aux_out = jax.tree.map(
+        lambda an, al, a00: jnp.where(s.done, an, jnp.where(use_lo, al, a00)),
+        s.aux_new, s.aux_lo, aux0,
+    )
+    failed = ~s.done & ~use_lo
+    return t_out, f_out, g_out, aux_out, s.ls_iter, failed
+
+
+def _lbfgs_direction(g, S, Yb, count, pos, hdiag, history):
+    """Two-loop recursion on the circular (history, p) buffers
+    (ref minFunc/lbfgsProd.m:19-32, mex/lbfgsProdC.c:46-88)."""
+
+    def sy(j):
+        return jnp.vdot(S[j], Yb[j])
+
+    def backward(i, carry):
+        q, al = carry
+        j = (pos - 1 - i) % history
+        valid = i < count
+        denom = sy(j)
+        rho = jnp.where(valid & (denom > 1e-30), 1.0 / denom, 0.0)
+        a = rho * jnp.vdot(S[j], q)
+        q = q - a * Yb[j]
+        al = al.at[j].set(a)
+        return q, al
+
+    q, al = lax.fori_loop(
+        0, history, backward, (g, jnp.zeros((history,), g.dtype))
+    )
+    r = hdiag * q
+
+    def forward(i, r):
+        j = (pos - count + i) % history
+        valid = i < count
+        denom = sy(j)
+        rho = jnp.where(valid & (denom > 1e-30), 1.0 / denom, 0.0)
+        b = rho * jnp.vdot(Yb[j], r)
+        return r + jnp.where(valid, al[j] - b, 0.0) * S[j]
+
+    r = lax.fori_loop(0, history, forward, r)
+    return -r
+
+
+class _OptState(NamedTuple):
+    x: jax.Array
+    f: jax.Array
+    g: jax.Array
+    aux: object
+    S: jax.Array
+    Yb: jax.Array
+    count: jax.Array
+    pos: jax.Array
+    hdiag: jax.Array
+    it: jax.Array
+    fevals: jax.Array
+    status: jax.Array
+    best_x: jax.Array
+    best_score: jax.Array
+    attempts: jax.Array
+    trace: dict
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "fun", "score_fn", "history", "max_iter", "max_attempts", "max_ls",
+        "record_len",
+    ),
+)
+def minimize(
+    fun: Callable,
+    x0: jax.Array,
+    *,
+    history: int = 100,
+    max_iter: int = 200,
+    opt_tol: float = 1e-5,
+    prog_tol: float = 1e-9,
+    c1: float = 1e-4,
+    c2: float = 0.9,
+    max_ls: int = 25,
+    score_fn: Optional[Callable] = None,
+    max_attempts: Optional[int] = None,
+    init_best_score: Optional[jax.Array] = None,
+    record_len: Optional[int] = None,
+) -> MinimizeResult:
+    """Minimize fun(x) -> (f, g, aux) by L-BFGS with strong-Wolfe search.
+
+    score_fn(x, aux) -> (score, extras): higher-is-better model-selection score
+    (the reference's validation LL). `best_x` tracks the argmax-score iterate;
+    `max_attempts` successive non-improving iterations trigger early stopping
+    (ref GPz/callBack.m:26-34; improvement uses >=, matching the reference).
+    """
+    p = x0.shape[0]
+    dtype = x0.dtype
+    record_len = record_len or (max_iter + 1)
+
+    f0, g0, aux0 = fun(x0)
+    if score_fn is None:
+        score0, extras0 = -f0, ()
+    else:
+        score0, extras0 = score_fn(x0, aux0)
+    if init_best_score is None:
+        init_best_score = jnp.asarray(-jnp.inf, dtype)
+
+    no_attempt_limit = max_attempts is None
+    attempts_cap = jnp.asarray(
+        2**31 - 1 if no_attempt_limit else max_attempts, jnp.int32
+    )
+
+    trace0 = {
+        "f": jnp.full((record_len,), jnp.nan, dtype),
+        "opt_cond": jnp.full((record_len,), jnp.nan, dtype),
+        "step": jnp.full((record_len,), jnp.nan, dtype),
+        "score": jnp.full((record_len,), jnp.nan, dtype),
+        "extras": jax.tree.map(
+            lambda e: jnp.full((record_len,), jnp.nan, dtype), extras0
+        ),
+    }
+
+    def record(trace, i, f, opt_cond, step, score, extras):
+        out = dict(trace)
+        out["f"] = trace["f"].at[i].set(f)
+        out["opt_cond"] = trace["opt_cond"].at[i].set(opt_cond)
+        out["step"] = trace["step"].at[i].set(step)
+        out["score"] = trace["score"].at[i].set(score)
+        out["extras"] = jax.tree.map(
+            lambda t, e: t.at[i].set(e), trace["extras"], extras
+        )
+        return out
+
+    trace0 = record(trace0, 0, f0, jnp.max(jnp.abs(g0)), 0.0, score0, extras0)
+
+    # best tracking starts from the provided floor (model.best.LL, train.m:8-9)
+    improved0 = score0 >= init_best_score
+    state = _OptState(
+        x=x0,
+        f=f0,
+        g=g0,
+        aux=aux0,
+        S=jnp.zeros((history, p), dtype),
+        Yb=jnp.zeros((history, p), dtype),
+        count=jnp.zeros((), jnp.int32),
+        pos=jnp.zeros((), jnp.int32),
+        hdiag=jnp.ones((), dtype),
+        it=jnp.zeros((), jnp.int32),
+        fevals=jnp.ones((), jnp.int32),
+        status=jnp.asarray(STATUS_RUNNING, jnp.int32),
+        best_x=x0,
+        best_score=jnp.where(improved0, score0, init_best_score),
+        attempts=jnp.zeros((), jnp.int32),
+        trace=trace0,
+    )
+
+    opt0_done = jnp.max(jnp.abs(g0)) <= opt_tol
+    state = state._replace(
+        status=jnp.where(opt0_done, STATUS_OPTIMAL, state.status)
+    )
+
+    def cond(s: _OptState):
+        return (s.status == STATUS_RUNNING) & (s.it < max_iter)
+
+    def body(s: _OptState):
+        d = _lbfgs_direction(s.g, s.S, s.Yb, s.count, s.pos, s.hdiag, history)
+        # safeguard: non-finite direction -> steepest descent (minFunc isLegal)
+        d_ok = jnp.all(jnp.isfinite(d))
+        d = jnp.where(d_ok, d, -s.g)
+
+        gtd = jnp.vdot(s.g, d)
+        no_descent = gtd > -prog_tol
+
+        # step init (minFunc.m:983-1023): first iter t = min(1, 1/sum|g|)
+        t0 = jnp.where(
+            s.it == 0,
+            jnp.minimum(1.0, 1.0 / jnp.sum(jnp.abs(s.g))),
+            1.0,
+        ).astype(dtype)
+
+        t, f_new, g_new, aux_new, ls_evals, ls_failed = wolfe_line_search(
+            fun, s.x, s.f, s.g, d, t0, c1, c2, max_ls, prog_tol, s.aux
+        )
+        x_new = s.x + t * d
+
+        # curvature update with skip rule (lbfgsAdd.m:5)
+        sk = t * d
+        yk = g_new - s.g
+        ys = jnp.vdot(yk, sk)
+        accept = (ys > 1e-10) & ~ls_failed
+        S = jnp.where(accept, s.S.at[s.pos].set(sk), s.S)
+        Yb = jnp.where(accept, s.Yb.at[s.pos].set(yk), s.Yb)
+        pos = jnp.where(accept, (s.pos + 1) % history, s.pos)
+        count = jnp.where(accept, jnp.minimum(s.count + 1, history), s.count)
+        hdiag = jnp.where(accept, ys / jnp.vdot(yk, yk), s.hdiag)
+
+        # scoring / early stopping
+        if score_fn is None:
+            score, extras = -f_new, ()
+        else:
+            score, extras = score_fn(x_new, aux_new)
+        improved = score >= s.best_score
+        best_x = jnp.where(improved, x_new, s.best_x)
+        best_score = jnp.where(improved, score, s.best_score)
+        attempts = jnp.where(improved, 0, s.attempts + 1)
+
+        opt_cond = jnp.max(jnp.abs(g_new))
+        it = s.it + 1
+
+        status = jnp.asarray(STATUS_RUNNING, jnp.int32)
+        status = jnp.where(attempts >= attempts_cap, STATUS_EARLY_STOP, status)
+        status = jnp.where(
+            jnp.abs(s.f - f_new) < prog_tol, STATUS_STEP_TOO_SMALL, status
+        )
+        status = jnp.where(
+            jnp.max(jnp.abs(t * d)) <= prog_tol, STATUS_STEP_TOO_SMALL, status
+        )
+        status = jnp.where(opt_cond <= opt_tol, STATUS_OPTIMAL, status)
+        status = jnp.where(ls_failed, STATUS_LS_FAILED, status)
+        status = jnp.where(no_descent, STATUS_NO_DESCENT, status)
+        status = jnp.where(it >= max_iter, jnp.where(
+            status == STATUS_RUNNING, STATUS_MAX_ITER, status), status)
+
+        trace = record(s.trace, it, f_new, opt_cond, t, score, extras)
+
+        return _OptState(
+            x=x_new,
+            f=f_new,
+            g=g_new,
+            aux=aux_new,
+            S=S,
+            Yb=Yb,
+            count=count,
+            pos=pos,
+            hdiag=hdiag,
+            it=it,
+            fevals=s.fevals + ls_evals,
+            status=status,
+            best_x=best_x,
+            best_score=best_score,
+            attempts=attempts,
+            trace=trace,
+        )
+
+    s = lax.while_loop(cond, body, state)
+    status = jnp.where(
+        s.status == STATUS_RUNNING, STATUS_MAX_ITER, s.status
+    )
+    # with no score_fn, "best" mirrors the reference's trainingOnly callback
+    # path: best == last (callBack.m:20-22)
+    if score_fn is None:
+        best_x, best_score = s.x, -s.f
+    else:
+        best_x, best_score = s.best_x, s.best_score
+    return MinimizeResult(
+        x=s.x,
+        f=s.f,
+        x_best=best_x,
+        best_score=best_score,
+        iterations=s.it,
+        fun_evals=s.fevals,
+        status=status,
+        trace=s.trace,
+    )

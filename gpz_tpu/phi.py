@@ -1,0 +1,185 @@
+"""Design-matrix construction — the getPHI equivalent as batched masked math.
+
+One parameterized kernel family replaces the reference's six method branches x
+{Psi, no-Psi} x {missing, complete} code paths (ref GPz/getPHI.m:26-110):
+
+  * GL/VL/GD/VD: diagonal covariance, Sigma_jd = gamma_jd^-2 (getPHI.m:93)
+  * GC/VC: full covariance, iSigma_j = Gamma_j^T Gamma_j (getPHI.m:73)
+  * input noise Psi enters as Psi + Sigma in the quadratic form plus a log-det
+    correction (Gaussian convolution, getPHI.m:84-87,102-105)
+  * missing dims are handled by masked dense algebra — each unobserved dim
+    contributes -0.5*log(2) to lnPHI (marginalization constant, getPHI.m:76)
+    instead of the reference's per-missingness-pattern row loops
+
+Everything is a jit-friendly static-shape computation: X is zero-filled, the
+missingness pattern lives in a boolean mask. A static `complete` hint (decided
+host-side from the data) lets the full-covariance family skip the per-sample
+masked restriction entirely when nothing is missing.
+
+Returns log-space quantities; exp happens at the caller:
+  lnPHI (n, m)  log basis activations
+  lnN   (n, m)  log *normalized* densities (consumed by the prior EM,
+                ref GPz/getPrior.m)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gpz_tpu.config import ModelConfig
+from gpz_tpu.params import GPzParams
+from gpz_tpu.linalg import safe_cholesky, chol_logdet, masked_psd
+
+_LN2 = math.log(2.0)
+_LN2PI = math.log(2.0 * math.pi)
+
+
+def log_phi(
+    params: GPzParams,
+    cfg: ModelConfig,
+    X: jax.Array,
+    mask: jax.Array,
+    psi: Optional[jax.Array],
+    complete: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Compute (lnPHI, lnN), each (n, m).
+
+    X:        (n, d) zero-filled inputs
+    mask:     (n, d) True where observed
+    psi:      None | (n, d) | (n, d, d) input-noise variances
+    complete: static hint that mask is all-True (skips masked restrictions in
+              the full-covariance family; the diagonal family is mask-native)
+    """
+    if cfg.full_cov:
+        return _log_phi_full(params, cfg, X, mask, psi, complete)
+    return _log_phi_diag(params, cfg, X, mask, psi)
+
+
+def _log_phi_diag(params, cfg, X, mask, psi):
+    G = params.expand_gamma(cfg)             # (m, d)
+    Sigma = G**-2                            # per-dim variances (getPHI.m:93)
+    P = params.P
+    fmask = mask.astype(X.dtype)
+    n_obs = jnp.sum(fmask, axis=1)           # (n,)
+    n_mis = X.shape[1] - n_obs
+
+    Delta = X[:, None, :] - P[None, :, :]    # (n, m, d)
+    log_sigma_obs = fmask @ jnp.log(Sigma).T  # (n, m): sum_o log Sigma_jo
+
+    if psi is None:
+        quad = jnp.einsum("nmd,nd->nm", Delta**2 / Sigma[None, :, :], fmask)
+        ln_phi = -0.5 * quad - 0.5 * n_mis[:, None] * _LN2
+    else:
+        ps = psi[:, None, :] + Sigma[None, :, :]          # (n, m, d)
+        quad = jnp.einsum("nmd,nd->nm", Delta**2 / ps, fmask)
+        # log(1 + psi/Sigma) correction (getPHI.m:104)
+        logr = jnp.einsum(
+            "nmd,nd->nm", jnp.log1p(psi[:, None, :] / Sigma[None, :, :]), fmask
+        )
+        ln_phi = -0.5 * quad - 0.5 * logr - 0.5 * n_mis[:, None] * _LN2
+
+    ln_n = (
+        ln_phi
+        - 0.5 * log_sigma_obs
+        - 0.5 * n_obs[:, None] * _LN2PI
+        + 0.5 * n_mis[:, None] * _LN2
+    )
+    return ln_phi, ln_n
+
+
+def _log_phi_full(params, cfg, X, mask, psi, complete):
+    G = params.expand_gamma(cfg)             # (m, d, d)
+    P = params.P
+    n, d = X.shape
+    m = cfg.m
+    fmask = mask.astype(X.dtype)
+    n_obs = jnp.sum(fmask, axis=1)
+    n_mis = d - n_obs
+
+    iSig = jnp.einsum("mij,mik->mjk", G, G)  # Gamma^T Gamma (getPHI.m:73)
+    Delta = (X[:, None, :] - P[None, :, :]) * fmask[:, None, :]  # (n, m, d)
+
+    if complete and psi is None:
+        # quad = |Gamma Delta|^2 — no inverse needed at all
+        V = jnp.einsum("mij,nmj->nmi", G, Delta)
+        quad = jnp.sum(V * V, axis=-1)       # (n, m)
+        L_iSig = safe_cholesky(iSig)
+        logdet_Soo = -chol_logdet(L_iSig)[None, :]  # logdet(Sigma_j), (1, m)
+        ln_phi = -0.5 * quad
+        ln_n = ln_phi - 0.5 * logdet_Soo - 0.5 * d * _LN2PI
+        return ln_phi, jnp.broadcast_to(ln_n, (n, m))
+
+    # Sigma_j = iSig^-1 and its logdet, via Cholesky (replaces svd logdets,
+    # getPHI.m:77,86)
+    L_iSig = safe_cholesky(iSig)
+    logdet_Sigma = -chol_logdet(L_iSig)      # (m,)
+    eye = jnp.broadcast_to(jnp.eye(d, dtype=X.dtype), (m, d, d))
+    Linv = jax.scipy.linalg.solve_triangular(L_iSig, eye, lower=True)
+    Sigma = jnp.einsum("mki,mkj->mij", Linv, Linv)  # (m, d, d)
+
+    if complete:
+        logdet_Soo = jnp.broadcast_to(logdet_Sigma[None, :], (n, m))
+    else:
+        Soo = masked_psd(Sigma[None, :, :, :], mask[:, None, :])  # (n, m, d, d)
+        L_Soo = jnp.linalg.cholesky(Soo)
+        logdet_Soo = chol_logdet(L_Soo)      # (n, m)
+
+    if psi is None:
+        z = jax.scipy.linalg.solve_triangular(
+            L_Soo, Delta[..., None], lower=True
+        )[..., 0]
+        quad = jnp.sum(z * z, axis=-1)       # (n, m)
+        ln_phi = -0.5 * quad - 0.5 * n_mis[:, None] * _LN2
+    else:
+        ps = psi[:, None, :, :] + Sigma[None, :, :, :]
+        if not complete:
+            ps = masked_psd(ps, mask[:, None, :])
+        L_ps = jnp.linalg.cholesky(ps)
+        z = jax.scipy.linalg.solve_triangular(L_ps, Delta[..., None], lower=True)[
+            ..., 0
+        ]
+        quad = jnp.sum(z * z, axis=-1)
+        logdet_ps = chol_logdet(L_ps)        # (n, m)
+        if not complete:
+            # masked_psd puts 1s on missing diag entries; logdet is exact for
+            # the observed block either way
+            pass
+        # +0.5 logdet(Sigma_oo) - 0.5 logdet(Psi_oo + Sigma_oo) (getPHI.m:86)
+        ln_phi = (
+            -0.5 * quad
+            + 0.5 * logdet_Soo
+            - 0.5 * logdet_ps
+            - 0.5 * n_mis[:, None] * _LN2
+        )
+
+    ln_n = (
+        ln_phi
+        - 0.5 * logdet_Soo
+        - 0.5 * n_obs[:, None] * _LN2PI
+        + 0.5 * n_mis[:, None] * _LN2
+    )
+    return ln_phi, ln_n
+
+
+def design_matrix(
+    params: GPzParams,
+    cfg: ModelConfig,
+    X: jax.Array,
+    mask: jax.Array,
+    psi: Optional[jax.Array],
+    complete: bool = False,
+):
+    """(PHI, lnN, ln_beta_i): activations, log densities, log noise variance.
+
+    ln_beta_i = b + PHI @ v when heteroscedastic (ref getPHI.m:117-125).
+    """
+    ln_phi, ln_n = log_phi(params, cfg, X, mask, psi, complete)
+    PHI = jnp.exp(ln_phi)
+    ln_beta_i = jnp.broadcast_to(params.b[None, :], (X.shape[0], cfg.k))
+    if params.heteroscedastic:
+        ln_beta_i = ln_beta_i + PHI @ params.v
+    return PHI, ln_n, ln_beta_i

@@ -1,0 +1,25 @@
+"""Test configuration: 8 virtual CPU devices + float64 for parity tests.
+
+Must run before the first JAX backend initialization. The axon TPU plugin is
+registered at interpreter start via sitecustomize, so the platform is forced
+back to CPU through jax.config (env vars alone are too late).
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
