@@ -1,0 +1,396 @@
+"""Model lifecycle: init -> train -> predict (ref GPz/init.m, train.m,
+predict.m).
+
+Host-side orchestration around the jit-compiled core. The model object is a
+plain container holding normalization stats plus two parameter sets, `last`
+(current theta) and `best` (validation-selected theta), each with derived
+posterior state — the explicit version of ref init.m:106-120 / train.m:53-80.
+`train` may be called repeatedly: it restarts from `last` and preserves `best`
+across calls (ref train.m:8-11).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
+
+from gpz_tpu.config import ModelConfig, TrainConfig
+from gpz_tpu.dataset import Dataset
+from gpz_tpu.params import GPzParams
+from gpz_tpu import linalg, datautils
+from gpz_tpu.objective import nlog_ml, posterior, holdout_metrics, Posterior
+from gpz_tpu.prior import get_prior
+from gpz_tpu.optim import minimize
+from gpz_tpu import predict as predict_mod
+
+
+@dataclasses.dataclass
+class ParamSet:
+    """One resolved parameter set with derived posterior state
+    (ref model.last / model.best, init.m:104-120)."""
+
+    params: GPzParams
+    post: Posterior
+    priors: jax.Array        # (m,) mixture prior over bases (ref getPrior.m)
+    score: float = -math.inf  # validation LL (ref model.best.LL)
+
+
+@dataclasses.dataclass
+class GPzModel:
+    cfg: ModelConfig
+    muX: np.ndarray
+    sdX: np.ndarray
+    muY: np.ndarray
+    last: ParamSet
+    best: ParamSet
+    fit_info: Optional[dict] = None
+
+
+def _to_dtype(cfg: ModelConfig):
+    return jnp.dtype(cfg.dtype)
+
+
+def _make_dataset(Xn, Yc, psi, omega, rows, dtype) -> Dataset:
+    Xr = Xn[rows]
+    mask = ~np.isnan(Xr)
+    return Dataset(
+        X=jnp.asarray(np.where(mask, Xr, 0.0), dtype),
+        mask=jnp.asarray(mask),
+        omega=jnp.asarray(omega[rows], dtype),
+        Y=None if Yc is None else jnp.asarray(Yc[rows], dtype),
+        psi=None if psi is None else jnp.asarray(psi[rows], dtype),
+    )
+
+
+def init(
+    X,
+    Y,
+    method: str = "VL",
+    m: int = 100,
+    *,
+    heteroscedastic: bool = True,
+    normalize: bool = True,
+    omega=None,
+    training=None,
+    psi=None,
+    seed: int = 0,
+    dtype: str = "float32",
+) -> GPzModel:
+    """Build and initialize a GPz model (ref GPz/init.m).
+
+    Initialization heuristics match the reference:
+      * centers drawn uniform in the PCA-whitened unit cube (init.m:57-59)
+      * length scales from the mean-distance heuristic over linearly imputed
+        data: gamma = sqrt(0.5 m^(1/d) / mean Dxy(Xl, P)) (init.m:61-62)
+      * b = log var(Y), lnAlpha = -log var(Y) (init.m:54-55)
+    """
+    X = np.asarray(X, dtype=np.float64)
+    Y = np.asarray(Y, dtype=np.float64)
+    if Y.ndim == 1:
+        Y = Y[:, None]
+    n, d = X.shape
+    k = Y.shape[1]
+    if d == 1:
+        method = method[0] + "L"  # ref init.m:12-14
+
+    cfg = ModelConfig(
+        m=m, d=d, k=k, method=method,
+        heteroscedastic=heteroscedastic, normalize=normalize, dtype=dtype,
+    )
+    if training is None:
+        training = np.ones(n, dtype=bool)
+    if omega is None:
+        omega = np.ones(n)
+
+    muX, sdX, muY = datautils.normalization_stats(X, Y, training, normalize)
+    Xn = (X - muX[None, :]) / sdX[None, :]
+    Yc = Y - muY[None, :]
+    psi_c = datautils.fix_psi(psi, n, sdX, cfg.full_cov)
+
+    rng = np.random.default_rng(seed)
+    Xtr = Xn[training]
+    Ytr = Yc[training]
+
+    b = np.log(np.var(Ytr, axis=0, ddof=1))                 # (k,)
+    ln_alpha = np.broadcast_to(-b[None, :], (m, k)).copy()  # (m, k)
+
+    # PCA-whitened uniform centers (init.m:57-59)
+    mu_p, cov_p, _, Ti = linalg.pca_whiten(jnp.asarray(Xtr))
+    mu_p, cov_p, Ti = np.asarray(mu_p), np.asarray(cov_p), np.asarray(Ti)
+    P = (rng.random((m, d)) - 0.5) * math.sqrt(12.0)
+    P = P @ Ti + mu_p[None, :]
+
+    # length-scale heuristic on imputed data (init.m:61-62)
+    Xl = np.asarray(linalg.fill_linear(jnp.asarray(Xtr), jnp.asarray(mu_p),
+                                       jnp.asarray(cov_p)))
+    D = np.asarray(linalg.dxy(jnp.asarray(Xl), jnp.asarray(P)))
+    gamma = np.sqrt(0.5 * m ** (1.0 / d) / D.mean(axis=0))  # (m,)
+
+    gshape = cfg.gamma_shape
+    if method == "GL":
+        g0 = np.full(gshape, gamma.mean())
+    elif method == "VL":
+        g0 = gamma[:, None]
+    elif method == "GD":
+        g0 = np.full(gshape, gamma.mean())
+    elif method == "VD":
+        g0 = np.broadcast_to(gamma[:, None], gshape).copy()
+    elif method == "GC":
+        g0 = np.eye(d)[None, :, :] * gamma.mean()
+    else:  # VC
+        g0 = np.eye(d)[None, :, :] * gamma[:, None, None]
+    g0 = np.ascontiguousarray(np.broadcast_to(g0, gshape))
+
+    dt = _to_dtype(cfg)
+    params = GPzParams(
+        P=jnp.asarray(P, dt),
+        gamma=jnp.asarray(g0, dt),
+        ln_alpha=jnp.asarray(ln_alpha, dt),
+        b=jnp.asarray(b, dt),
+        v=jnp.zeros((m, k), dt) if heteroscedastic else None,
+        ln_tau=jnp.zeros((m, k), dt) if heteroscedastic else None,
+    )
+
+    data = _make_dataset(Xn, Yc, psi_c, omega, training, dt)
+    complete = bool(np.all(data.mask))
+    post = jax.jit(posterior, static_argnames=("cfg", "complete"))(
+        params, data, cfg, complete=complete
+    )
+    priors = jnp.full((m,), 1.0 / m, dtype=dt)
+
+    last = ParamSet(params=params, post=post, priors=priors)
+    best = ParamSet(params=params, post=post, priors=priors, score=-math.inf)
+    return GPzModel(cfg=cfg, muX=muX, sdX=sdX, muY=muY, last=last, best=best)
+
+
+def train(
+    model: GPzModel,
+    X,
+    Y,
+    *,
+    omega=None,
+    training=None,
+    validation=None,
+    psi=None,
+    max_iter: int = 200,
+    max_attempts: Optional[int] = None,
+    tc: Optional[TrainConfig] = None,
+    verbose: bool = True,
+) -> GPzModel:
+    """Fit hyperparameters by maximizing the log marginal likelihood
+    (ref GPz/train.m): jit-compiled L-BFGS with validation early stopping."""
+    tc = tc or TrainConfig(max_iter=max_iter, max_attempts=max_attempts,
+                           verbose=verbose)
+    cfg = model.cfg
+    X = np.asarray(X, dtype=np.float64)
+    Y = np.asarray(Y, dtype=np.float64)
+    if Y.ndim == 1:
+        Y = Y[:, None]
+    n = X.shape[0]
+    if training is None:
+        training = np.ones(n, dtype=bool)
+    if omega is None:
+        omega = np.ones(n)
+
+    Xn = (X - model.muX[None, :]) / model.sdX[None, :]
+    Yc = Y - model.muY[None, :]
+    psi_c = datautils.fix_psi(psi, n, model.sdX, cfg.full_cov)
+
+    dt = _to_dtype(cfg)
+    data_tr = _make_dataset(Xn, Yc, psi_c, omega, training, dt)
+    complete_tr = bool(np.all(data_tr.mask))
+
+    has_valid = validation is not None and np.any(validation)
+    if has_valid:
+        data_va = _make_dataset(Xn, Yc, psi_c, omega, validation, dt)
+        complete_va = bool(np.all(data_va.mask))
+
+    flat0, unravel = ravel_pytree(model.last.params)
+    vg = jax.value_and_grad(
+        lambda p: nlog_ml(p, data_tr, cfg, complete=complete_tr),
+        has_aux=True,
+    )
+
+    def fun(flat):
+        (f, aux), g = vg(unravel(flat))
+        return f, ravel_pytree(g)[0], aux
+
+    score_fn = None
+    if has_valid:
+        def score_fn(flat, aux):
+            rmse, ll = holdout_metrics(
+                unravel(flat), aux.w, data_va, cfg, complete=complete_va
+            )
+            return ll, {
+                "valid_rmse": rmse,
+                "valid_ll": ll,
+                "train_rmse": aux.train_rmse,
+                "train_ll": aux.train_ll,
+            }
+
+    res = minimize(
+        fun,
+        flat0,
+        history=tc.history,
+        max_iter=tc.max_iter,
+        opt_tol=tc.opt_tol,
+        prog_tol=tc.prog_tol,
+        c1=tc.c1,
+        c2=tc.c2,
+        max_ls=tc.max_ls,
+        score_fn=score_fn,
+        max_attempts=tc.max_attempts,
+        init_best_score=jnp.asarray(
+            model.best.score if math.isfinite(model.best.score) else -jnp.inf,
+            dt,
+        ),
+    )
+
+    def resolve(flat, score) -> ParamSet:
+        params = unravel(flat)
+        post = jax.jit(posterior, static_argnames=("cfg", "complete"))(
+            params, data_tr, cfg, complete=complete_tr
+        )
+        priors = jax.jit(get_prior, static_argnames=("cfg", "complete"))(
+            params, data_tr, cfg, complete=complete_tr
+        )
+        return ParamSet(params=params, post=post, priors=priors, score=score)
+
+    last = resolve(res.x, float(res.best_score) if not has_valid else -math.inf)
+    best = resolve(res.x_best, float(res.best_score))
+
+    fit_info = {
+        "iterations": int(res.iterations),
+        "fun_evals": int(res.fun_evals),
+        "status": int(res.status),
+        "final_nlml": float(res.f),
+        "trace": jax.tree.map(np.asarray, res.trace),
+    }
+    if tc.verbose:
+        _print_trace(fit_info, has_valid)
+
+    return GPzModel(
+        cfg=cfg, muX=model.muX, sdX=model.sdX, muY=model.muY,
+        last=last, best=best, fit_info=fit_info,
+    )
+
+
+def _print_trace(fit_info, has_valid):
+    """Post-hoc iteration table (ref GPz/callBack.m:16-46)."""
+    tr = fit_info["trace"]
+    n_it = fit_info["iterations"]
+    if has_valid:
+        print("\tIter\tlogML/n\t\tTrain RMSE\tTrain MLL\tValid RMSE\tValid MLL")
+        ex = tr["extras"]
+        for i in range(n_it + 1):
+            print(
+                f"\t{i}\t{-tr['f'][i]:.5e}\t{ex['train_rmse'][i]:.5e}"
+                f"\t{ex['train_ll'][i]:.5e}\t{ex['valid_rmse'][i]:.5e}"
+                f"\t{ex['valid_ll'][i]:.5e}"
+            )
+    else:
+        print("\tIter\tlogML/n")
+        for i in range(n_it + 1):
+            print(f"\t{i}\t{-tr['f'][i]:.5e}")
+    print(f"\t[{fit_info['iterations']} iters, "
+          f"{fit_info['fun_evals']} evals, status={fit_info['status']}]")
+
+
+@dataclasses.dataclass
+class Prediction:
+    mu: np.ndarray
+    sigma: np.ndarray
+    nu: np.ndarray
+    beta_i: np.ndarray
+    gamma: np.ndarray
+    phi: np.ndarray
+
+
+def predict(
+    X,
+    model: GPzModel,
+    *,
+    psi=None,
+    which_set: str = "best",
+    selection=None,
+    batch_size: int = 2048,
+) -> Prediction:
+    """Predict mean + decomposed uncertainty (ref GPz/predict.m).
+
+    sigma = nu + beta_i + gamma (predict.m:72); mu is un-centered by muY.
+    Rows are grouped by missingness pattern host-side (predict.m:45-56) and
+    each group dispatches to the unified moment-matching kernel; clean rows
+    take the O(n m) fast path.
+    """
+    cfg = model.cfg
+    X = np.asarray(X, dtype=np.float64)
+    if X.ndim == 1:
+        X = X[:, None]
+    if selection is not None:
+        X = X[selection]
+        if psi is not None:
+            psi = np.asarray(psi)[selection]
+    n, d = X.shape
+    pset = model.best if which_set == "best" else model.last
+    dt = _to_dtype(cfg)
+
+    Xn = (X - model.muX[None, :]) / model.sdX[None, :]
+    psi_c = datautils.fix_psi(psi, n, model.sdX, cfg.full_cov)
+
+    mask = ~np.isnan(Xn)
+    Xz = np.where(mask, Xn, 0.0)
+    k = cfg.k
+    out = {
+        "mu": np.zeros((n, k)),
+        "nu": np.zeros((n, k)),
+        "beta_i": np.zeros((n, k)),
+        "gamma": np.zeros((n, k)),
+        "phi": np.zeros((n, cfg.m)),
+    }
+
+    # group rows by missingness pattern (ref predict.m:45-56)
+    patterns, inverse = np.unique(mask, axis=0, return_inverse=True)
+    for pi in range(patterns.shape[0]):
+        rows = np.where(inverse == pi)[0]
+        pat = patterns[pi]
+        complete = bool(pat.all())
+        for start in range(0, len(rows), batch_size):
+            idx = rows[start : start + batch_size]
+            Xg = jnp.asarray(Xz[idx], dt)
+            psig = None if psi_c is None else jnp.asarray(psi_c[idx], dt)
+            if complete and psig is None:
+                mu, nu, bi, ga, phi = predict_mod.predict_clean(
+                    pset.params, pset.post, cfg, Xg,
+                    jnp.ones((len(idx), d), bool), None, complete=True,
+                )
+            else:
+                if psig is None:
+                    shape = (len(idx), d, d) if cfg.full_cov else (len(idx), d)
+                    psig = jnp.zeros(shape, dt)
+                fn = (
+                    predict_mod.predict_moments_full
+                    if cfg.full_cov
+                    else predict_mod.predict_moments_diag
+                )
+                mu, nu, bi, ga, phi = fn(
+                    pset.params, pset.post, pset.priors, cfg, Xg,
+                    jnp.asarray(pat.astype(np.float64), dt), psig, complete,
+                )
+            out["mu"][idx] = np.asarray(mu)
+            out["nu"][idx] = np.asarray(nu)
+            out["beta_i"][idx] = np.asarray(bi)
+            out["gamma"][idx] = np.asarray(ga)
+            out["phi"][idx] = np.asarray(phi)
+
+    sigma = out["nu"] + out["beta_i"] + out["gamma"]
+    mu = out["mu"] + model.muY[None, :]
+    return Prediction(
+        mu=mu, sigma=sigma, nu=out["nu"], beta_i=out["beta_i"],
+        gamma=out["gamma"], phi=out["phi"],
+    )

@@ -1,0 +1,277 @@
+"""Prediction: predictive mean + full uncertainty decomposition.
+
+The reference implements 2 families x 4 regimes = 8 code paths
+(ref GPz/predictDiag.m:58-296, GPz/predictCov.m:53-337: predictFull /
+predictNoisy / predictMissing / predictNoisyMissing). Here each family has ONE
+unified moment-matching implementation: input noise psi == 0 and an all-True
+mask reduce it exactly to the clean case, so {noisy, missing, noisy+missing,
+clean} are the same code. A cheap fast path (`predict_clean`) covers the
+clean case in O(n m) instead of O(n m^2).
+
+Outputs per sample (ref demo_sinc.m:105-109, predict.m:72):
+  mu      point estimate
+  nu      model ("density") variance      diag(E[phi] Sigma_w^-1 E[phi]^T)-ish
+  beta_i  noise variance                  exp(E ln S) (1 + V ln S / 2)
+  gamma   input-noise/missing propagation Var[phi^T w]
+  sigma = nu + beta_i + gamma
+
+All rows of one call share a single missingness pattern (a (d,) mask vector):
+the host-side driver in gpz_tpu.model groups rows by pattern exactly like ref
+GPz/predict.m:45-56 and dispatches each group here.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from gpz_tpu.config import ModelConfig
+from gpz_tpu.params import GPzParams
+from gpz_tpu.phi import design_matrix
+from gpz_tpu.linalg import safe_cholesky, chol_logdet, chol_solve, masked_psd
+
+
+def _v_or_zero(params: GPzParams, cfg: ModelConfig):
+    if params.v is not None:
+        return params.v
+    return jnp.zeros((cfg.m, cfg.k), dtype=params.P.dtype)
+
+
+def predict_clean(params, post, cfg: ModelConfig, X, mask, psi=None,
+                  complete=True):
+    """Fast path — ref predictFull (predictDiag.m:58-74).
+
+    Also used with psi for the reference's predictNoisy *mean* when only mu is
+    needed. Returns (mu, nu, beta_i, gamma, PHI).
+    """
+    PHI, _, ln_beta = design_matrix(params, cfg, X, mask, psi, complete)
+    mu = PHI @ post.w
+    # nu_k = diag(PHI iSigma_w_k PHI^T)
+    nu = jnp.einsum("nm,kmj,nj->nk", PHI, post.iSigma_w, PHI)
+    beta_i = jnp.exp(ln_beta)
+    gamma = jnp.zeros_like(mu)
+    return mu, nu, beta_i, gamma, PHI
+
+
+# --------------------------------------------------------------------------
+# diagonal family: one unified moment-matching path
+# --------------------------------------------------------------------------
+
+def predict_moments_diag(params, post, priors, cfg: ModelConfig, X,
+                         mask_vec, psi, complete: bool):
+    """Unified noisy/missing moment-matched prediction, diagonal family.
+
+    Equivalent to ref predictDiag.m predictNoisy (75-125), predictMissing
+    (127-209) and predictNoisyMissing (211-296) — and reduces exactly to
+    predictFull when psi == 0 and mask_vec is all-True.
+
+    X:        (n, d) zero-filled rows sharing one missingness pattern
+    mask_vec: (d,) observed indicator for the whole group
+    psi:      (n, d) input-noise variances (zeros when none)
+    complete: static — True when mask_vec is statically all-True (skips the
+              GMM-conditioning machinery)
+    """
+    P = params.P                              # (m, d)
+    G = params.expand_gamma(cfg)
+    Sigma = G**-2.0                           # (m, d)
+    iS = G**2.0
+    w = post.w                                # (m, k)
+    v = _v_or_zero(params, cfg)
+    b = params.b
+    om = mask_vec.astype(X.dtype)             # (d,)
+    um = 1.0 - om
+
+    # --- responsibilities + expected activations (PHI) ---
+    SP = psi[:, None, :] + Sigma[None, :, :]               # (n, m, d)
+    Delta = X[:, None, :] - P[None, :, :]
+    lnNo = jnp.einsum(
+        "nmd,d->nm", -0.5 * Delta**2 / SP - 0.5 * jnp.log(SP), om
+    )                                                      # (n, m)
+    lnz = 0.5 * jnp.sum(jnp.log(Sigma), axis=1)            # (m,)
+
+    if complete:
+        PHI = jnp.exp(lnz[None, :] + lnNo)
+        Pio = None
+    else:
+        logits = lnNo + jnp.log(priors)[None, :]
+        Pio = jax.nn.softmax(logits, axis=1)               # (n, m)
+        # Nij over unobserved dims (predictDiag.m:160)
+        Sij = Sigma[:, None, :] + Sigma[None, :, :]        # (m, m, d)
+        dP = P[:, None, :] - P[None, :, :]
+        lnNij_u = jnp.einsum(
+            "ijd,d->ij", -0.5 * dP**2 / Sij - 0.5 * jnp.log(Sij), um
+        )
+        PHI = jnp.exp(lnz)[None, :] * jnp.exp(lnNo) * (Pio @ jnp.exp(lnNij_u))
+
+    mu = PHI @ w                                           # (n, k)
+    ElnS = PHI @ v
+
+    # --- pairwise moment matching (predictDiag.m:93-121) ---
+    iCij = iS[:, None, :] + iS[None, :, :]                 # (m, m, d)
+    Cij = 1.0 / iCij
+    cij = (P[:, None, :] * iS[:, None, :] + P[None, :, :] * iS[None, :, :]) * Cij
+    Sij = Sigma[:, None, :] + Sigma[None, :, :]
+    dP = P[:, None, :] - P[None, :, :]
+    lnZij = (
+        lnz[:, None]
+        + lnz[None, :]
+        - 0.5 * jnp.sum(dP**2 / Sij + jnp.log(Sij), axis=-1)
+    )                                                      # (m, m), all dims
+
+    # observed-part pair density (n, m, m); the d-expanded intermediate is
+    # (n, m, m, d) — the caller chunks rows to bound memory
+    CP = Cij[None, :, :, :] + psi[:, None, None, :]        # (n, m, m, d)
+    dxc = X[:, None, None, :] - cij[None, :, :, :]
+    lnNo_pair = jnp.einsum(
+        "nijd,d->nij", -0.5 * dxc**2 / CP - 0.5 * jnp.log(CP), om
+    )
+
+    if complete:
+        Ec = jnp.exp(lnNo_pair)
+    else:
+        # GMM expectation over unobserved dims (predictDiag.m:181-186)
+        SC = Sigma[:, None, None, :] + Cij[None, :, :, :]  # (l, i, j, d)
+        dPc = P[:, None, None, :] - cij[None, :, :, :]
+        lnNu = jnp.einsum(
+            "lijd,d->lij", -0.5 * dPc**2 / SC - 0.5 * jnp.log(SC), um
+        )
+        Ec = jnp.exp(lnNo_pair) * jnp.einsum(
+            "nl,lij->nij", Pio, jnp.exp(lnNu)
+        )
+
+    ZN = jnp.exp(lnZij)[None, :, :] * Ec                   # (n, m, m)
+
+    gamma = jnp.einsum("nij,ik,jk->nk", ZN, w, w) - mu**2
+    VlnS = jnp.einsum("nij,ik,jk->nk", ZN, v, v) - ElnS**2
+    nu = jnp.einsum("nij,kij->nk", ZN, post.iSigma_w)
+
+    ElnS_b = ElnS + b[None, :]
+    beta_i = jnp.exp(ElnS_b) * (1.0 + 0.5 * VlnS)
+    return mu, nu, beta_i, gamma, PHI
+
+
+# --------------------------------------------------------------------------
+# full-covariance family
+# --------------------------------------------------------------------------
+
+def predict_moments_full(params, post, priors, cfg: ModelConfig, X,
+                         mask_vec, psi, complete: bool):
+    """Unified moment-matched prediction, full-covariance family (GC/VC).
+
+    Equivalent to ref predictCov.m predictNoisy (70-133), predictMissing
+    (134-232) and predictNoisyMissing (233-337). The conditional-imputation
+    objects of the missing paths (R, X_hat, Psi_hat; predictCov.m:159-175,
+    268-277) are built with masked dense algebra:
+        J_i     = Sigma_i A_i^-1 M          (the unshuffled [I; R'] map)
+        X_hat_i = P_i + J_i (x - P_i)
+        Psi_hat_i = J_i Psi J_i^T + Sigma_i - J_i Sigma_i
+    which reduce to X_hat = x, Psi_hat = Psi when nothing is missing.
+
+    psi: (n, d, d) (zeros when none).
+    """
+    n, d = X.shape
+    m, k = cfg.m, cfg.k
+    P = params.P
+    G = params.expand_gamma(cfg)              # (m, d, d)
+    w = post.w
+    v = _v_or_zero(params, cfg)
+    b = params.b
+    om = mask_vec.astype(X.dtype)
+    M = jnp.diag(om)                          # (d, d)
+    eye = jnp.eye(d, dtype=X.dtype)
+
+    iSig = jnp.einsum("mij,mik->mjk", G, G)   # (m, d, d)
+    L_iSig = safe_cholesky(iSig)
+    Sigma = chol_solve(L_iSig, jnp.broadcast_to(eye, (m, d, d)))
+    lnz = -0.5 * chol_logdet(L_iSig)          # = +0.5 logdet Sigma, (m,)
+
+    Delta = X[:, None, :] - P[None, :, :]     # (n, m, d)
+    Dm = Delta * om[None, None, :]
+
+    # responsibilities: N(x_o; P_o, (Sigma + Psi)_oo) (predictCov.m:167,266);
+    # the masked embedding's identity block contributes zero to the logdet
+    SPoo = masked_psd(
+        Sigma[None] + psi[:, None], mask_vec.astype(bool)[None, None, :]
+    )
+    L_SPoo = jnp.linalg.cholesky(SPoo)
+    z = jax.scipy.linalg.solve_triangular(L_SPoo, Dm[..., None], lower=True)[..., 0]
+    lnNo = -0.5 * jnp.sum(z * z, -1) - 0.5 * chol_logdet(L_SPoo)  # (n, m)
+
+    if complete:
+        Pio = None
+        X_hat = jnp.broadcast_to(X[:, None, :], (n, m, d))
+        Psi_hat = jnp.broadcast_to(psi[:, None], (n, m, d, d))
+        PHI = jnp.exp(lnz)[None, :] * jnp.exp(lnNo)
+    else:
+        logits = lnNo + jnp.log(priors)[None, :]
+        Pio = jax.nn.softmax(logits, axis=1)                   # (n, m)
+
+        # conditional imputation per basis (predictCov.m:169-174)
+        A = masked_psd(Sigma, jnp.broadcast_to(mask_vec, (m, d)))  # (m, d, d)
+        L_A = safe_cholesky(A)
+        AiM = chol_solve(L_A, jnp.broadcast_to(M, (m, d, d)))      # A^-1 M
+        J = jnp.einsum("mij,mjk->mik", Sigma, AiM)                 # (m, d, d)
+        X_hat = P[None, :, :] + jnp.einsum("mij,nmj->nmi", J, Delta)
+        cond_cov = Sigma - jnp.einsum("mij,mjk->mik", J, Sigma)    # (m, d, d)
+        Psi_hat = (
+            jnp.einsum("mij,njk,mlk->nmil", J, psi, J) + cond_cov[None]
+        )                                                          # (n, m, d, d)
+
+        # PHI_i = exp(lnz_i) sum_j Pio_j N(X_hat_j; P_i, Sigma_i + Psi_hat_j)
+        SPH = Sigma[None, :, None] + Psi_hat[:, None, :, :]        # (n, i, j, d, d)
+        L_SPH = jnp.linalg.cholesky(SPH)
+        dXh = X_hat[:, None, :, :] - P[None, :, None, :]           # (n, i, j, d)
+        zz = jax.scipy.linalg.solve_triangular(L_SPH, dXh[..., None], lower=True)[..., 0]
+        lnNfull = -0.5 * jnp.sum(zz * zz, -1) - 0.5 * chol_logdet(L_SPH)
+        PHI = jnp.exp(lnz)[None, :] * jnp.einsum(
+            "nj,nij->ni", Pio, jnp.exp(lnNfull)
+        )
+
+    mu = PHI @ w
+    ElnS = PHI @ v
+
+    # --- pairwise quantities (predictCov.m:101-113) ---
+    iCij = iSig[:, None] + iSig[None, :]                    # (m, m, d, d)
+    L_iCij = safe_cholesky(iCij)
+    Cij = chol_solve(L_iCij, jnp.broadcast_to(eye, (m, m, d, d)))
+    PiS = jnp.einsum("id,idk->ik", P, iSig)                 # (m, d)
+    cij = jnp.einsum("ijd,ijdk->ijk", jnp.broadcast_to(
+        PiS[:, None, :], (m, m, d)) + PiS[None, :, :], Cij)
+    SS = Sigma[:, None] + Sigma[None, :]                    # (m, m, d, d)
+    L_SS = safe_cholesky(SS)
+    dP = P[:, None, :] - P[None, :, :]
+    zp = jax.scipy.linalg.solve_triangular(L_SS, dP[..., None], lower=True)[..., 0]
+    lnZij = (
+        lnz[:, None] + lnz[None, :]
+        - 0.5 * jnp.sum(zp * zp, -1)
+        - 0.5 * chol_logdet(L_SS)
+    )                                                       # (m, m)
+
+    # E_c[N(c; cij, Cij)] over the predictive density of c
+    if complete:
+        CP = Cij[None] + psi[:, None, None]                 # (n, m, m, d, d)
+        L_CP = jnp.linalg.cholesky(CP)
+        dxc = X[:, None, None, :] - cij[None, :, :, :]
+        zc = jax.scipy.linalg.solve_triangular(L_CP, dxc[..., None], lower=True)[..., 0]
+        Ec = jnp.exp(-0.5 * jnp.sum(zc * zc, -1) - 0.5 * chol_logdet(L_CP))
+    else:
+        # sum over mixture components l (predictCov.m:197-202,301-306)
+        CPl = Cij[None, None] + Psi_hat[:, :, None, None]   # (n, l, i, j, d, d)
+        L_CPl = jnp.linalg.cholesky(CPl)
+        dxc = X_hat[:, :, None, None, :] - cij[None, None, :, :, :]
+        zc = jax.scipy.linalg.solve_triangular(L_CPl, dxc[..., None], lower=True)[..., 0]
+        lnNc = -0.5 * jnp.sum(zc * zc, -1) - 0.5 * chol_logdet(L_CPl)
+        Ec = jnp.einsum("nl,nlij->nij", Pio, jnp.exp(lnNc))
+
+    ZN = jnp.exp(lnZij)[None] * Ec                          # (n, m, m)
+
+    gamma = jnp.einsum("nij,ik,jk->nk", ZN, w, w) - mu**2
+    VlnS = jnp.einsum("nij,ik,jk->nk", ZN, v, v) - ElnS**2
+    nu = jnp.einsum("nij,kij->nk", ZN, post.iSigma_w)
+
+    ElnS_b = ElnS + b[None, :]
+    beta_i = jnp.exp(ElnS_b) * (1.0 + 0.5 * VlnS)
+    return mu, nu, beta_i, gamma, PHI

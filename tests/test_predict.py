@@ -1,0 +1,215 @@
+"""Prediction-stack tests.
+
+1. Collapse exactness: the unified moment-matching path with psi == 0 and no
+   missing dims must equal the clean fast path (the 4-regimes-in-1 design).
+2. Monte-Carlo validation of the noisy moment matching: gamma/nu/beta_i are
+   defined as moments of phi(x) under x ~ N(x0, Psi) — estimated directly.
+3. Loopy port-of-record of the missing/noisy-missing diag math
+   (ref predictDiag.m:127-296) vs the vectorized implementation.
+"""
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gpz_tpu.config import ModelConfig
+from gpz_tpu.objective import Posterior
+from gpz_tpu.params import GPzParams
+from gpz_tpu.predict import (
+    predict_clean,
+    predict_moments_diag,
+    predict_moments_full,
+)
+
+from test_phi import make_params
+
+
+def make_post(rng, m, k):
+    A = rng.standard_normal((k, m, m)) * 0.05
+    iSw = A @ np.swapaxes(A, 1, 2) + 0.1 * np.eye(m)
+    return Posterior(
+        w=jnp.asarray(rng.standard_normal((m, k))),
+        iSigma_w=jnp.asarray(iSw),
+        logdet=jnp.zeros(k),
+    )
+
+
+@pytest.mark.parametrize("method", ["VD", "VC"])
+def test_unified_collapses_to_clean(rng, method):
+    n, d, m, k = 13, 3, 5, 1
+    cfg = ModelConfig(m=m, d=d, k=k, method=method, dtype="float64")
+    params = make_params(rng, cfg)
+    post = make_post(rng, m, k)
+    priors = jnp.full((m,), 1.0 / m)
+    X = jnp.asarray(rng.standard_normal((n, d)))
+    mask = jnp.ones((n, d), bool)
+    psi0 = jnp.zeros((n, d, d) if cfg.full_cov else (n, d))
+
+    clean = predict_clean(params, post, cfg, X, mask, None, complete=True)
+    fn = predict_moments_full if cfg.full_cov else predict_moments_diag
+    unified = fn(params, post, priors, cfg, X, jnp.ones(d), psi0, True)
+
+    for a, b, name in zip(clean, unified, ["mu", "nu", "beta_i", "gamma", "phi"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8, err_msg=name
+        )
+
+
+@pytest.mark.parametrize("method", ["VD", "VC"])
+def test_noisy_moments_match_monte_carlo(rng, method):
+    """gamma = Var[phi^T w], nu = E[phi^T iSigma_w phi],
+    beta_i ~ exp(E lnS)(1 + Var lnS / 2) under x ~ N(x0, Psi)."""
+    n, d, m, k = 4, 2, 4, 1
+    cfg = ModelConfig(m=m, d=d, k=k, method=method, dtype="float64")
+    params = make_params(rng, cfg)
+    post = make_post(rng, m, k)
+    priors = jnp.full((m,), 1.0 / m)
+    X = rng.standard_normal((n, d)) * 0.5
+    psi_d = 0.05 + 0.05 * rng.random((n, d))
+
+    if cfg.full_cov:
+        psi = np.zeros((n, d, d))
+        psi[:, np.arange(d), np.arange(d)] = psi_d
+    else:
+        psi = psi_d
+
+    fn = predict_moments_full if cfg.full_cov else predict_moments_diag
+    mu, nu, beta_i, gamma, phi = fn(
+        params, post, priors, cfg, jnp.asarray(X), jnp.ones(d),
+        jnp.asarray(psi), True,
+    )
+
+    # Monte-Carlo: sample x, evaluate exact phi, take moments
+    S = 400_000
+    P = np.asarray(params.P)
+    w = np.asarray(post.w)
+    v = np.asarray(params.v)
+    iSw = np.asarray(post.iSigma_w)[0]
+    G = np.asarray(params.expand_gamma(cfg))
+
+    for i in range(n):
+        xs = X[i][None, :] + rng.standard_normal((S, d)) * np.sqrt(psi_d[i])[None, :]
+        if cfg.full_cov:
+            q = np.zeros((S, m))
+            for j in range(m):
+                iSig = G[j].T @ G[j]
+                dd = xs - P[j]
+                q[:, j] = np.einsum("sd,de,se->s", dd, iSig, dd)
+        else:
+            q = (((xs[:, None, :] - P[None, :, :]) ** 2) * (G**2)[None]).sum(-1)
+        phis = np.exp(-0.5 * q)                     # (S, m)
+        f = phis @ w[:, 0]
+        lnS = phis @ v[:, 0]
+        mc_mu = f.mean()
+        mc_gamma = f.var()
+        mc_nu = np.einsum("sm,mj,sj->s", phis, iSw, phis).mean()
+        mc_ElnS = lnS.mean()
+        mc_VlnS = lnS.var()
+
+        np.testing.assert_allclose(float(mu[i, 0]), mc_mu, rtol=0.03, atol=5e-3)
+        np.testing.assert_allclose(float(gamma[i, 0]), mc_gamma, rtol=0.08, atol=5e-3)
+        np.testing.assert_allclose(float(nu[i, 0]), mc_nu, rtol=0.05, atol=5e-3)
+        expect_beta = math.exp(mc_ElnS + float(params.b[0])) * (1 + 0.5 * mc_VlnS)
+        np.testing.assert_allclose(float(beta_i[i, 0]), expect_beta, rtol=0.05, atol=5e-3)
+
+
+def _ref_predict_missing_diag(X, psi, P, Sigma, w, v, b, iSw, priors):
+    """Loopy port-of-record of predictDiag.m:211-296 (psi==0 gives 127-209)."""
+    n, d = X.shape
+    m, k = w.shape
+    o = ~np.isnan(X[0])
+    u = ~o
+    iS = 1.0 / Sigma
+    lnz = 0.5 * np.sum(np.log(Sigma), axis=1)
+
+    No = np.zeros((n, m))
+    for i in range(m):
+        sp = psi[:, o] + Sigma[i, o][None, :]
+        delta = X[:, o] - P[i, o][None, :]
+        No[:, i] = np.exp(
+            -0.5 * np.sum(delta**2 / sp, 1) - 0.5 * np.sum(np.log(sp), 1)
+        )
+    Ex = No * priors[None, :]
+    Pio = Ex / Ex.sum(1, keepdims=True)
+
+    Nij = np.zeros((m, m))
+    for i in range(m):
+        for j in range(m):
+            ss = Sigma[i, u] + Sigma[j, u]
+            Nij[i, j] = np.exp(
+                -0.5 * np.sum((P[i, u] - P[j, u]) ** 2 / ss)
+                - 0.5 * np.sum(np.log(ss))
+            )
+    PHI = np.exp(lnz)[None, :] * No * (Pio @ Nij)
+    mu = PHI @ w
+    ElnS = PHI @ v
+
+    gamma = np.zeros((n, k))
+    VlnS = np.zeros((n, k))
+    nu = np.zeros((n, k))
+    for i in range(m):
+        for j in range(m):
+            Cij = 1.0 / (iS[i] + iS[j])
+            cij = (P[i] * iS[i] + P[j] * iS[j]) * Cij
+            cp = psi[:, o] + Cij[o][None, :]
+            lnNo_p = -0.5 * np.sum((X[:, o] - cij[o]) ** 2 / cp, 1) - 0.5 * np.sum(
+                np.log(cp), 1
+            )
+            Nu = np.zeros(m)
+            for l in range(m):
+                sc = Sigma[l, u] + Cij[u]
+                Nu[l] = np.exp(
+                    -0.5 * np.sum((P[l, u] - cij[u]) ** 2 / sc)
+                    - 0.5 * np.sum(np.log(sc))
+                )
+            Ec = np.exp(lnNo_p) * (Pio @ Nu)
+            ss = Sigma[i] + Sigma[j]
+            Zij = (
+                np.exp(
+                    lnz[i] + lnz[j]
+                    - 0.5 * np.sum((P[i] - P[j]) ** 2 / ss)
+                    - 0.5 * np.sum(np.log(ss))
+                )
+                * Ec
+            )
+            gamma += Zij[:, None] * (w[i] * w[j])[None, :]
+            VlnS += Zij[:, None] * (v[i] * v[j])[None, :]
+            nu += Zij[:, None] * iSw[:, i, j][None, :]
+    VlnS -= ElnS**2
+    beta_i = np.exp(ElnS + b[None, :]) * (1 + 0.5 * VlnS)
+    gamma -= mu**2
+    return mu, nu, beta_i, gamma, PHI
+
+
+@pytest.mark.parametrize("with_psi", [False, True])
+def test_missing_diag_vs_loopy_reference(rng, with_psi):
+    n, d, m, k = 9, 3, 4, 1
+    cfg = ModelConfig(m=m, d=d, k=k, method="VD", dtype="float64")
+    params = make_params(rng, cfg)
+    post = make_post(rng, m, k)
+    priors = np.asarray(rng.random(m)) + 0.1
+    priors /= priors.sum()
+
+    X = rng.standard_normal((n, d))
+    X[:, 2] = np.nan  # one shared missing dim
+    psi = (0.05 + 0.1 * rng.random((n, d))) if with_psi else np.zeros((n, d))
+
+    Sigma = np.asarray(params.expand_gamma(cfg)) ** -2.0
+    exp = _ref_predict_missing_diag(
+        X, psi, np.asarray(params.P), Sigma, np.asarray(post.w),
+        np.asarray(params.v), np.asarray(params.b),
+        np.asarray(post.iSigma_w), priors,
+    )
+
+    mask_vec = jnp.asarray([1.0, 1.0, 0.0])
+    Xz = np.where(np.isnan(X), 0.0, X)
+    got = predict_moments_diag(
+        params, post, jnp.asarray(priors), cfg, jnp.asarray(Xz), mask_vec,
+        jnp.asarray(psi), False,
+    )
+    for g, e, name in zip(got, exp, ["mu", "nu", "beta_i", "gamma", "phi"]):
+        np.testing.assert_allclose(
+            np.asarray(g), e, rtol=1e-7, atol=1e-10, err_msg=name
+        )
