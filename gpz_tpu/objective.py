@@ -64,20 +64,40 @@ class Posterior:
     logdet: jax.Array       # (k,)
 
 
-def _gram_terms(params: GPzParams, cfg: ModelConfig, data: Dataset, complete: bool):
-    """Shared forward computation: PHI, noise, Gram factor, posterior weights."""
+def _reducer(axis_name: Optional[str]):
+    """Cross-shard reduction at the objective's psum points (SURVEY §2.3:
+    the Gram, rhs, and every scalar sum over samples are the exact reduction
+    boundaries for n-sharding). Identity when running unsharded."""
+    if axis_name is None:
+        return lambda x: x
+    return lambda x: jax.lax.psum(x, axis_name)
+
+
+def _gram_terms(
+    params: GPzParams,
+    cfg: ModelConfig,
+    data: Dataset,
+    complete: bool,
+    axis_name: Optional[str] = None,
+):
+    """Shared forward computation: PHI, noise, Gram factor, posterior weights.
+
+    Under shard_map (rows sharded on `axis_name`), the per-shard partial Gram
+    and rhs are psum-reduced; the m x m solve is replicated on every device.
+    """
+    r = _reducer(axis_name)
     PHI, _, ln_beta = design_matrix(params, cfg, data.X, data.mask, data.psi, complete)
     beta = jnp.exp(-ln_beta)                             # (n, k)
     ob = data.omega[:, None] * beta                      # (n, k)
     alpha = jnp.exp(params.ln_alpha)                     # (m, k)
 
     # SIGMA_k = PHI^T diag(ob_k) PHI + diag(alpha_k)   (ref GPz.m:63-65)
-    A = jnp.einsum("nm,nk,nj->kmj", PHI, ob, PHI)
+    A = r(jnp.einsum("nm,nk,nj->kmj", PHI, ob, PHI))
     SIGMA = A + jax.vmap(jnp.diag)(alpha.T)              # (k, m, m)
     L = safe_cholesky(SIGMA)
     logdet = chol_logdet(L)                              # (k,)
 
-    rhs = PHI.T @ (ob * data.Y)                          # (m, k)
+    rhs = r(PHI.T @ (ob * data.Y))                       # (m, k)
     w = chol_solve(L, rhs.T[..., None])[..., 0].T        # (m, k)
     return PHI, ln_beta, beta, ob, alpha, L, logdet, w
 
@@ -88,18 +108,24 @@ def nlog_ml(
     cfg: ModelConfig,
     n_eff: Optional[jax.Array] = None,
     complete: bool = False,
+    axis_name: Optional[str] = None,
 ):
     """Negative mean log marginal likelihood and aux metrics.
 
     `n_eff` — number of real (unpadded) samples; defaults to data.n.
+    `axis_name` — mesh axis holding the sample shards when called inside
+    shard_map; every sample reduction becomes a psum and the result is
+    replicated across the axis.
     Differentiate with `jax.value_and_grad(nlog_ml, has_aux=True)`: the full
-    analytic gradient of ref GPz.m:89-234 falls out of AD.
+    analytic gradient of ref GPz.m:89-234 falls out of AD (including through
+    the psums, whose transpose XLA handles).
     """
     if n_eff is None:
         n_eff = jnp.asarray(data.n, data.X.dtype)
+    r = _reducer(axis_name)
     k = cfg.k
     PHI, ln_beta, beta, ob, alpha, L, logdet, w = _gram_terms(
-        params, cfg, data, complete
+        params, cfg, data, complete, axis_name
     )
 
     delta = PHI @ w - data.Y                             # (n, k)
@@ -107,11 +133,11 @@ def nlog_ml(
 
     # per-k evidence terms (ref GPz.m:81-82)
     log_ml = (
-        -0.5 * jnp.sum(obd * delta, axis=0)
+        -0.5 * r(jnp.sum(obd * delta, axis=0))
         - 0.5 * jnp.sum(alpha * w**2, axis=0)
         + 0.5 * jnp.sum(params.ln_alpha, axis=0)
         - 0.5 * logdet
-        - 0.5 * jnp.sum(ln_beta * data.omega[:, None], axis=0)
+        - 0.5 * r(jnp.sum(ln_beta * data.omega[:, None], axis=0))
     )
 
     if params.heteroscedastic:
@@ -123,13 +149,15 @@ def nlog_ml(
             - 0.5 * cfg.m * _LN2PI
         )
 
-    total = jnp.sum(log_ml) - 0.5 * _LN2PI * k * jnp.sum(data.omega)
+    total = jnp.sum(log_ml) - 0.5 * _LN2PI * k * r(jnp.sum(data.omega))
     nlml = -total / (n_eff * k)
 
     # train metrics (ref GPz.m:236-237), explicit instead of globals
-    train_rmse = jnp.sqrt(jnp.sum(data.omega[:, None] * delta**2) / (n_eff * k))
+    train_rmse = jnp.sqrt(
+        r(jnp.sum(data.omega[:, None] * delta**2)) / (n_eff * k)
+    )
     train_ll = (
-        jnp.sum(data.omega[:, None] * (-0.5 * beta * delta**2 - 0.5 * ln_beta))
+        r(jnp.sum(data.omega[:, None] * (-0.5 * beta * delta**2 - 0.5 * ln_beta)))
         / (n_eff * k)
         - 0.5 * _LN2PI
     )
@@ -141,10 +169,13 @@ def posterior(
     data: Dataset,
     cfg: ModelConfig,
     complete: bool = False,
+    axis_name: Optional[str] = None,
 ) -> Posterior:
     """Posterior weights + full Gram inverse (the reference's "weights-only"
     nargout trick, GPz.m:84-87, made an explicit function per SURVEY §3.4)."""
-    _, _, _, _, _, L, logdet, w = _gram_terms(params, cfg, data, complete)
+    _, _, _, _, _, L, logdet, w = _gram_terms(
+        params, cfg, data, complete, axis_name
+    )
     m = cfg.m
     eye = jnp.broadcast_to(jnp.eye(m, dtype=data.X.dtype), (cfg.k, m, m))
     iSigma_w = chol_solve(L, eye)
@@ -158,6 +189,7 @@ def holdout_metrics(
     cfg: ModelConfig,
     n_eff: Optional[jax.Array] = None,
     complete: bool = False,
+    axis_name: Optional[str] = None,
 ):
     """Validation RMSE / mean-log-likelihood given training weights w.
 
@@ -167,13 +199,14 @@ def holdout_metrics(
     """
     if n_eff is None:
         n_eff = jnp.asarray(data.n, data.X.dtype)
+    r = _reducer(axis_name)
     PHI, _, ln_beta = design_matrix(params, cfg, data.X, data.mask, data.psi, complete)
     beta = jnp.exp(-ln_beta)
     delta = PHI @ w - data.Y
     k = cfg.k
-    rmse = jnp.sqrt(jnp.sum(data.omega[:, None] * delta**2) / (n_eff * k))
+    rmse = jnp.sqrt(r(jnp.sum(data.omega[:, None] * delta**2)) / (n_eff * k))
     ll = (
-        jnp.sum(data.omega[:, None] * (-0.5 * beta * delta**2 - 0.5 * ln_beta))
+        r(jnp.sum(data.omega[:, None] * (-0.5 * beta * delta**2 - 0.5 * ln_beta)))
         / (n_eff * k)
         - 0.5 * _LN2PI
     )
