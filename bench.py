@@ -63,15 +63,16 @@ def main():
         )(params)
         return f, g
 
-    # compile + warm up
+    # compile + warm up (host-fetch: block_until_ready is not reliable on all
+    # remote-execution backends, so force a device->host transfer)
     f, g = grad_eval(params, data)
-    jax.block_until_ready(f)
+    float(f), float(g.P[0, 0])
 
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         f, g = grad_eval(params, data)
-    jax.block_until_ready(f)
+        float(f), float(g.P[0, 0])
     dt = time.perf_counter() - t0
 
     evals_per_sec = iters / dt

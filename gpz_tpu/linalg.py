@@ -79,6 +79,69 @@ def inv_logdet_psd(A: jax.Array):
     return chol_solve(L, eye), chol_logdet(L)
 
 
+def unrolled_cholesky(A: jax.Array) -> jax.Array:
+    """Cholesky for huge batches of TINY (d x d) matrices, d static.
+
+    XLA:TPU lowers batched lax.linalg.cholesky/triangular_solve to scalar
+    loops that run ~50x slower than peak for d ~ 5. Unrolling over the small
+    static d turns the factorization into ~d^3/6 fused elementwise VPU ops
+    over the batch — this is the hot op of the full-covariance (GC/VC) family
+    (SURVEY §3.2: the per-sample loop of getPHI.m:80-88 becomes this).
+    Non-PD inputs produce NaNs exactly like lax.linalg.cholesky.
+    """
+    d = A.shape[-1]
+    L = [[None] * d for _ in range(d)]
+    for j in range(d):
+        s = A[..., j, j]
+        for t in range(j):
+            s = s - L[j][t] * L[j][t]
+        L[j][j] = jnp.sqrt(s)
+        for i in range(j + 1, d):
+            s2 = A[..., i, j]
+            for t in range(j):
+                s2 = s2 - L[i][t] * L[j][t]
+            L[i][j] = s2 / L[j][j]
+    zero = jnp.zeros_like(A[..., 0, 0])
+    rows = [
+        jnp.stack([L[i][j] if j <= i else zero for j in range(d)], axis=-1)
+        for i in range(d)
+    ]
+    return jnp.stack(rows, axis=-2)
+
+
+def unrolled_solve_lower(L: jax.Array, b: jax.Array) -> jax.Array:
+    """Forward substitution L z = b for tiny static d; b is [..., d]."""
+    d = L.shape[-1]
+    z = []
+    for i in range(d):
+        s = b[..., i]
+        for t in range(i):
+            s = s - L[..., i, t] * z[t]
+        z.append(s / L[..., i, i])
+    return jnp.stack(z, axis=-1)
+
+
+def quad_logdet_psd(A: jax.Array, delta: jax.Array, unroll_max: int = 8):
+    """(delta^T A^-1 delta, log|A|) for batched PSD A [..., d, d].
+
+    Uses the unrolled VPU path for small d, lax.linalg otherwise.
+    """
+    d = A.shape[-1]
+    if d <= unroll_max:
+        L = unrolled_cholesky(A)
+        z = unrolled_solve_lower(L, delta)
+    else:
+        L = jnp.linalg.cholesky(A)
+        z = jax.scipy.linalg.solve_triangular(
+            L, delta[..., None], lower=True
+        )[..., 0]
+    quad = jnp.sum(z * z, axis=-1)
+    logdet = 2.0 * jnp.sum(
+        jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1
+    )
+    return quad, logdet
+
+
 def dxy(X: jax.Array, Y: jax.Array) -> jax.Array:
     """Pairwise squared Euclidean distances, (n, p). Ref GPz/Dxy.m:3-7."""
     xx = jnp.sum(X * X, axis=1)[:, None]

@@ -32,7 +32,12 @@ import jax.numpy as jnp
 
 from gpz_tpu.config import ModelConfig
 from gpz_tpu.params import GPzParams
-from gpz_tpu.linalg import safe_cholesky, chol_logdet, masked_psd
+from gpz_tpu.linalg import (
+    safe_cholesky,
+    chol_logdet,
+    masked_psd,
+    quad_logdet_psd,
+)
 
 _LN2 = math.log(2.0)
 _LN2PI = math.log(2.0 * math.pi)
@@ -91,20 +96,23 @@ def _log_phi_diag(params, cfg, X, mask, psi):
     return ln_phi, ln_n
 
 
+#: row-block size for the full-covariance per-sample (B, m, d, d) Cholesky
+#: pass; bounds the HBM working set (B * m * d^2 elements) regardless of n
+PHI_BLOCK_ROWS = 4096
+
+
 def _log_phi_full(params, cfg, X, mask, psi, complete):
     G = params.expand_gamma(cfg)             # (m, d, d)
     P = params.P
     n, d = X.shape
     m = cfg.m
     fmask = mask.astype(X.dtype)
-    n_obs = jnp.sum(fmask, axis=1)
-    n_mis = d - n_obs
 
     iSig = jnp.einsum("mij,mik->mjk", G, G)  # Gamma^T Gamma (getPHI.m:73)
-    Delta = (X[:, None, :] - P[None, :, :]) * fmask[:, None, :]  # (n, m, d)
 
     if complete and psi is None:
         # quad = |Gamma Delta|^2 — no inverse needed at all
+        Delta = X[:, None, :] - P[None, :, :]
         V = jnp.einsum("mij,nmj->nmi", G, Delta)
         quad = jnp.sum(V * V, axis=-1)       # (n, m)
         L_iSig = safe_cholesky(iSig)
@@ -121,48 +129,70 @@ def _log_phi_full(params, cfg, X, mask, psi, complete):
     Linv = jax.scipy.linalg.solve_triangular(L_iSig, eye, lower=True)
     Sigma = jnp.einsum("mki,mkj->mij", Linv, Linv)  # (m, d, d)
 
-    if complete:
-        logdet_Soo = jnp.broadcast_to(logdet_Sigma[None, :], (n, m))
-    else:
-        Soo = masked_psd(Sigma[None, :, :, :], mask[:, None, :])  # (n, m, d, d)
-        L_Soo = jnp.linalg.cholesky(Soo)
-        logdet_Soo = chol_logdet(L_Soo)      # (n, m)
+    def block_fn(args):
+        """Per-row-block (B, m, d, d) work; rematerialized in the backward
+        pass (jax.checkpoint) so only (B, m) activations persist."""
+        Xb, maskb, psib = args
+        fm = maskb.astype(X.dtype)
+        n_obs = jnp.sum(fm, axis=1)
+        n_mis = d - n_obs
+        Delta = (Xb[:, None, :] - P[None, :, :]) * fm[:, None, :]
 
-    if psi is None:
-        z = jax.scipy.linalg.solve_triangular(
-            L_Soo, Delta[..., None], lower=True
-        )[..., 0]
-        quad = jnp.sum(z * z, axis=-1)       # (n, m)
-        ln_phi = -0.5 * quad - 0.5 * n_mis[:, None] * _LN2
-    else:
-        ps = psi[:, None, :, :] + Sigma[None, :, :, :]
-        if not complete:
-            ps = masked_psd(ps, mask[:, None, :])
-        L_ps = jnp.linalg.cholesky(ps)
-        z = jax.scipy.linalg.solve_triangular(L_ps, Delta[..., None], lower=True)[
-            ..., 0
-        ]
-        quad = jnp.sum(z * z, axis=-1)
-        logdet_ps = chol_logdet(L_ps)        # (n, m)
-        if not complete:
-            # masked_psd puts 1s on missing diag entries; logdet is exact for
-            # the observed block either way
-            pass
-        # +0.5 logdet(Sigma_oo) - 0.5 logdet(Psi_oo + Sigma_oo) (getPHI.m:86)
-        ln_phi = (
-            -0.5 * quad
-            + 0.5 * logdet_Soo
-            - 0.5 * logdet_ps
-            - 0.5 * n_mis[:, None] * _LN2
+        if psib is None:
+            # quad + logdet through Sigma_oo (tiny-d unrolled VPU path)
+            Soo = masked_psd(Sigma[None, :, :, :], maskb[:, None, :])
+            quad, logdet_Soo = quad_logdet_psd(Soo, Delta)
+            ln_phi = -0.5 * quad - 0.5 * n_mis[:, None] * _LN2
+        else:
+            if complete:
+                logdet_Soo = jnp.broadcast_to(
+                    logdet_Sigma[None, :], (Xb.shape[0], m)
+                )
+                ps = psib[:, None, :, :] + Sigma[None, :, :, :]
+            else:
+                Soo = masked_psd(Sigma[None, :, :, :], maskb[:, None, :])
+                _, logdet_Soo = quad_logdet_psd(Soo, Delta)
+                ps = masked_psd(
+                    psib[:, None, :, :] + Sigma[None, :, :, :],
+                    maskb[:, None, :],
+                )
+            quad, logdet_ps = quad_logdet_psd(ps, Delta)
+            # +0.5 logdet(Sigma_oo) - 0.5 logdet(Psi_oo+Sigma_oo) (getPHI.m:86)
+            ln_phi = (
+                -0.5 * quad
+                + 0.5 * logdet_Soo
+                - 0.5 * logdet_ps
+                - 0.5 * n_mis[:, None] * _LN2
+            )
+
+        ln_n = (
+            ln_phi
+            - 0.5 * logdet_Soo
+            - 0.5 * n_obs[:, None] * _LN2PI
+            + 0.5 * n_mis[:, None] * _LN2
         )
+        return ln_phi, ln_n
 
-    ln_n = (
-        ln_phi
-        - 0.5 * logdet_Soo
-        - 0.5 * n_obs[:, None] * _LN2PI
-        + 0.5 * n_mis[:, None] * _LN2
+    B = PHI_BLOCK_ROWS
+    if n <= B:
+        return block_fn((X, mask, psi))
+
+    # pad rows to a block multiple, scan blocks, slice back
+    n_pad = -(-n // B) * B
+    pad = n_pad - n
+    Xp = jnp.pad(X, ((0, pad), (0, 0)))
+    maskp = jnp.pad(mask, ((0, pad), (0, 0)), constant_values=True)
+    psip = None if psi is None else jnp.pad(
+        psi, ((0, pad),) + ((0, 0),) * (psi.ndim - 1)
     )
-    return ln_phi, ln_n
+    nb = n_pad // B
+    blocks = (
+        Xp.reshape(nb, B, d),
+        maskp.reshape(nb, B, d),
+        None if psip is None else psip.reshape((nb, B) + psip.shape[1:]),
+    )
+    ln_phi, ln_n = jax.lax.map(jax.checkpoint(block_fn), blocks)
+    return ln_phi.reshape(n_pad, m)[:n], ln_n.reshape(n_pad, m)[:n]
 
 
 def design_matrix(
