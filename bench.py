@@ -56,23 +56,24 @@ def make_problem(n=100_000, d=5, m=100, k=1, method="VC", dtype=jnp.float32,
 def main():
     cfg, params, data = make_problem()
 
-    @jax.jit
-    def grad_eval(params, data):
-        (f, aux), g = jax.value_and_grad(
-            lambda p: nlog_ml(p, data, cfg, complete=True), has_aux=True
-        )(params)
-        return f, g
-
-    # compile + warm up (host-fetch: block_until_ready is not reliable on all
-    # remote-execution backends, so force a device->host transfer)
-    f, g = grad_eval(params, data)
-    float(f), float(g.P[0, 0])
-
+    # amortize over an on-device loop: per-call host fetches measure relay
+    # round-trip latency (~27 ms on remote backends), not compute. The tiny
+    # data-dependent perturbation defeats loop-invariant hoisting.
     iters = 20
+
+    @jax.jit
+    def run(params, data):
+        def body(i, acc):
+            p = jax.tree.map(lambda x: x + acc * 1e-30, params)
+            (f, aux), g = jax.value_and_grad(
+                lambda q: nlog_ml(q, data, cfg, complete=True), has_aux=True
+            )(p)
+            return acc + f + g.P[0, 0] * 1e-30
+        return jax.lax.fori_loop(0, iters, body, 0.0)
+
+    float(run(params, data))  # compile + warm up
     t0 = time.perf_counter()
-    for _ in range(iters):
-        f, g = grad_eval(params, data)
-        float(f), float(g.P[0, 0])
+    float(run(params, data))
     dt = time.perf_counter() - t0
 
     evals_per_sec = iters / dt

@@ -101,6 +101,16 @@ def _log_phi_diag(params, cfg, X, mask, psi):
 PHI_BLOCK_ROWS = 4096
 
 
+def _use_vc_kernel(dtype, d: int, m: int) -> bool:
+    """Gate for the fused Pallas VC kernel: TPU backend, float32, and sizes
+    whose ~(2 d^2 + 3 d) live (tile, m) planes fit VMEM."""
+    if jnp.dtype(dtype) != jnp.float32 or d > 6 or m > 512:
+        return False
+    from gpz_tpu.ops.vc_phi import pallas_enabled
+
+    return pallas_enabled()
+
+
 def _log_phi_full(params, cfg, X, mask, psi, complete):
     G = params.expand_gamma(cfg)             # (m, d, d)
     P = params.P
@@ -128,6 +138,15 @@ def _log_phi_full(params, cfg, X, mask, psi, complete):
     eye = jnp.broadcast_to(jnp.eye(d, dtype=X.dtype), (m, d, d))
     Linv = jax.scipy.linalg.solve_triangular(L_iSig, eye, lower=True)
     Sigma = jnp.einsum("mki,mkj->mij", Linv, Linv)  # (m, d, d)
+
+    # fused Pallas kernel for the hot complete+psi case (TPU, f32, small d):
+    # everything stays in VMEM instead of materializing (n, m, d, d) in HBM
+    if complete and psi is not None and _use_vc_kernel(X.dtype, d, m):
+        from gpz_tpu.ops.vc_phi import vc_lnphi_complete
+
+        ln_phi = vc_lnphi_complete(X, psi, P, Sigma, logdet_Sigma)
+        ln_n = ln_phi - 0.5 * logdet_Sigma[None, :] - 0.5 * d * _LN2PI
+        return ln_phi, ln_n
 
     def block_fn(args):
         """Per-row-block (B, m, d, d) work; rematerialized in the backward
