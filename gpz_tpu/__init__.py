@@ -28,6 +28,27 @@ TPU-first design (not a port):
     Gram/gradient accumulation points (gpz_tpu.parallel)
 """
 
+import os as _os
+
+# persistent compilation cache: training/predict programs (jitted while_loop
+# over the SPMD objective) are expensive to compile, especially through
+# remote-compile backends. Opt out with GPZ_NO_CACHE=1; override the location
+# with GPZ_CACHE_DIR.
+if _os.environ.get("GPZ_NO_CACHE") != "1":  # pragma: no branch
+    import jax as _jax
+
+    _cache = _os.environ.get(
+        "GPZ_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "gpz_tpu", "xla"),
+    )
+    try:
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except (OSError, AttributeError):  # pragma: no cover
+        pass
+
 from gpz_tpu.config import ModelConfig, TrainConfig, PredictConfig
 from gpz_tpu.params import GPzParams
 from gpz_tpu.dataset import Dataset

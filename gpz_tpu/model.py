@@ -11,8 +11,11 @@ across calls (ref train.m:8-11).
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import math
+import os
+import time
 from typing import Optional
 
 import numpy as np
@@ -184,7 +187,11 @@ def train(
     verbose: bool = True,
 ) -> GPzModel:
     """Fit hyperparameters by maximizing the log marginal likelihood
-    (ref GPz/train.m): jit-compiled L-BFGS with validation early stopping."""
+    (ref GPz/train.m): jit-compiled L-BFGS with validation early stopping.
+
+    Set env GPZ_PROFILE=/path to capture a jax.profiler trace of the run
+    (the reference's only tracing was tic/toc prints, callBack.m:22-46)."""
+    t_start = time.perf_counter()
     tc = tc or TrainConfig(max_iter=max_iter, max_attempts=max_attempts,
                            verbose=verbose)
     cfg = model.cfg
@@ -234,23 +241,31 @@ def train(
                 "train_ll": aux.train_ll,
             }
 
-    res = minimize(
-        fun,
-        flat0,
-        history=tc.history,
-        max_iter=tc.max_iter,
-        opt_tol=tc.opt_tol,
-        prog_tol=tc.prog_tol,
-        c1=tc.c1,
-        c2=tc.c2,
-        max_ls=tc.max_ls,
-        score_fn=score_fn,
-        max_attempts=tc.max_attempts,
-        init_best_score=jnp.asarray(
-            model.best.score if math.isfinite(model.best.score) else -jnp.inf,
-            dt,
-        ),
+    profile_dir = os.environ.get("GPZ_PROFILE")
+    prof_cm = (
+        jax.profiler.trace(profile_dir)
+        if profile_dir
+        else contextlib.nullcontext()
     )
+    with prof_cm:
+        res = minimize(
+            fun,
+            flat0,
+            history=tc.history,
+            max_iter=tc.max_iter,
+            opt_tol=tc.opt_tol,
+            prog_tol=tc.prog_tol,
+            c1=tc.c1,
+            c2=tc.c2,
+            max_ls=tc.max_ls,
+            score_fn=score_fn,
+            max_attempts=tc.max_attempts,
+            init_best_score=jnp.asarray(
+                model.best.score if math.isfinite(model.best.score)
+                else -jnp.inf,
+                dt,
+            ),
+        )
 
     def resolve(flat, score) -> ParamSet:
         params = unravel(flat)
@@ -270,6 +285,7 @@ def train(
         "fun_evals": int(res.fun_evals),
         "status": int(res.status),
         "final_nlml": float(res.f),
+        "seconds": time.perf_counter() - t_start,
         "trace": jax.tree.map(np.asarray, res.trace),
     }
     if tc.verbose:
@@ -354,6 +370,48 @@ def predict(
         "phi": np.zeros((n, cfg.m)),
     }
 
+    # jitted per-regime dispatch: one compiled program per (shape, regime);
+    # batches are padded to the batch size to limit retracing
+    clean_fn = jax.jit(
+        lambda params, post, Xg: predict_mod.predict_clean(
+            params, post, cfg, Xg,
+            jnp.ones(Xg.shape, bool), None, complete=True,
+        ),
+        static_argnames=(),
+    )
+    moments = (
+        predict_mod.predict_moments_full
+        if cfg.full_cov
+        else predict_mod.predict_moments_diag
+    )
+    moments_fn = jax.jit(
+        lambda params, post, priors, Xg, patv, psig, complete: moments(
+            params, post, priors, cfg, Xg, patv, psig, complete
+        ),
+        static_argnames=("complete",),
+    )
+
+    def run_batch(idx, pat, complete):
+        pad = 0
+        if len(idx) < batch_size and len(rows) > batch_size:
+            pad = batch_size - len(idx)
+        sel = np.concatenate([idx, np.repeat(idx[-1:], pad)])
+        Xg = jnp.asarray(Xz[sel], dt)
+        psig = None if psi_c is None else jnp.asarray(psi_c[sel], dt)
+        if complete and psig is None:
+            out = clean_fn(pset.params, pset.post, Xg)
+        else:
+            if psig is None:
+                shape = (len(sel), d, d) if cfg.full_cov else (len(sel), d)
+                psig = jnp.zeros(shape, dt)
+            out = moments_fn(
+                pset.params, pset.post, pset.priors, Xg,
+                jnp.asarray(pat.astype(np.float64), dt), psig, complete,
+            )
+        if pad:
+            out = tuple(o[: len(idx)] for o in out)
+        return out
+
     # group rows by missingness pattern (ref predict.m:45-56)
     patterns, inverse = np.unique(mask, axis=0, return_inverse=True)
     for pi in range(patterns.shape[0]):
@@ -362,26 +420,7 @@ def predict(
         complete = bool(pat.all())
         for start in range(0, len(rows), batch_size):
             idx = rows[start : start + batch_size]
-            Xg = jnp.asarray(Xz[idx], dt)
-            psig = None if psi_c is None else jnp.asarray(psi_c[idx], dt)
-            if complete and psig is None:
-                mu, nu, bi, ga, phi = predict_mod.predict_clean(
-                    pset.params, pset.post, cfg, Xg,
-                    jnp.ones((len(idx), d), bool), None, complete=True,
-                )
-            else:
-                if psig is None:
-                    shape = (len(idx), d, d) if cfg.full_cov else (len(idx), d)
-                    psig = jnp.zeros(shape, dt)
-                fn = (
-                    predict_mod.predict_moments_full
-                    if cfg.full_cov
-                    else predict_mod.predict_moments_diag
-                )
-                mu, nu, bi, ga, phi = fn(
-                    pset.params, pset.post, pset.priors, cfg, Xg,
-                    jnp.asarray(pat.astype(np.float64), dt), psig, complete,
-                )
+            mu, nu, bi, ga, phi = run_batch(idx, pat, complete)
             out["mu"][idx] = np.asarray(mu)
             out["nu"][idx] = np.asarray(nu)
             out["beta_i"][idx] = np.asarray(bi)

@@ -18,8 +18,11 @@ jax.config.update("jax_enable_x64", True)
 
 # persistent compilation cache: the sharded/while-loop programs are expensive
 # to compile on CPU; repeat test runs hit the cache
-_CACHE = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE))
+_CACHE = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+)
+os.environ["GPZ_CACHE_DIR"] = _CACHE  # keep gpz_tpu.__init__ on the same dir
+jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

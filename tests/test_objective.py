@@ -51,6 +51,35 @@ CASES = [
 ]
 
 
+@pytest.mark.parametrize("method", ["VL", "VC"])
+def test_nlog_ml_parity_multi_output(rng, method):
+    """k = 2 outputs: per-k Gram solves and the heteroscedastic prior terms
+    (the reference's k-loop, GPz.m:61-75)."""
+    cfg, params, data, X, Y, psi, omega = build(
+        rng, method, True, False, True, k=2
+    )
+    got, aux = nlog_ml(params, data, cfg, complete=True)
+    expect, w_expect = ref_nlog_ml(
+        X, Y, psi, omega,
+        np.asarray(params.P), np.asarray(params.gamma),
+        np.asarray(params.ln_alpha), np.asarray(params.b),
+        np.asarray(params.v), np.asarray(params.ln_tau), method,
+    )
+    np.testing.assert_allclose(float(got), expect, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(aux.w), w_expect, rtol=1e-7, atol=1e-9)
+
+
+def test_check_gradient_utility(rng):
+    from gpz_tpu.optim import check_gradient
+
+    cfg, params, data, *_ = build(rng, "VD", True, False, True, n=12, m=3)
+    flat0, unravel = params.flatten()
+    ok, err = check_gradient(
+        lambda x: nlog_ml(unravel(x), data, cfg, complete=True)[0], flat0
+    )
+    assert ok, err
+
+
 @pytest.mark.parametrize("method,with_psi,with_missing,het", CASES)
 def test_nlog_ml_parity(rng, method, with_psi, with_missing, het):
     cfg, params, data, X, Y, psi, omega = build(
