@@ -123,16 +123,17 @@ def init(
     b = np.log(np.var(Ytr, axis=0, ddof=1))                 # (k,)
     ln_alpha = np.broadcast_to(-b[None, :], (m, k)).copy()  # (m, k)
 
-    # PCA-whitened uniform centers (init.m:57-59)
-    mu_p, cov_p, _, Ti = linalg.pca_whiten(jnp.asarray(Xtr))
-    mu_p, cov_p, Ti = np.asarray(mu_p), np.asarray(cov_p), np.asarray(Ti)
+    # PCA-whitened uniform centers (init.m:57-59) — host-side NumPy so model
+    # construction never waits on device compiles
+    mu_p, cov_p, Ti = datautils.pca_whiten_np(Xtr)
     P = (rng.random((m, d)) - 0.5) * math.sqrt(12.0)
     P = P @ Ti + mu_p[None, :]
 
     # length-scale heuristic on imputed data (init.m:61-62)
-    Xl = np.asarray(linalg.fill_linear(jnp.asarray(Xtr), jnp.asarray(mu_p),
-                                       jnp.asarray(cov_p)))
-    D = np.asarray(linalg.dxy(jnp.asarray(Xl), jnp.asarray(P)))
+    Xl = datautils.fill_linear_np(Xtr, mu_p, cov_p)
+    D = np.abs(
+        (Xl**2).sum(1)[:, None] + (P**2).sum(1)[None, :] - 2.0 * Xl @ P.T
+    )
     gamma = np.sqrt(0.5 * m ** (1.0 / d) / D.mean(axis=0))  # (m,)
 
     gshape = cfg.gamma_shape
@@ -391,10 +392,10 @@ def predict(
         static_argnames=("complete",),
     )
 
-    def run_batch(idx, pat, complete):
+    def run_batch(idx, pat, complete, bs):
         pad = 0
-        if len(idx) < batch_size and len(rows) > batch_size:
-            pad = batch_size - len(idx)
+        if len(idx) < bs and len(rows) > bs:
+            pad = bs - len(idx)
         sel = np.concatenate([idx, np.repeat(idx[-1:], pad)])
         Xg = jnp.asarray(Xz[sel], dt)
         psig = None if psi_c is None else jnp.asarray(psi_c[sel], dt)
@@ -412,15 +413,21 @@ def predict(
             out = tuple(o[: len(idx)] for o in out)
         return out
 
+    # the moment-matching path materializes (B, m, m[, d]) pair tensors;
+    # bound the per-batch footprint independently of the caller's batch_size
+    pair_budget = int(2e7)  # elements
+    moments_batch = max(32, min(batch_size, pair_budget // (cfg.m * cfg.m * d)))
+
     # group rows by missingness pattern (ref predict.m:45-56)
     patterns, inverse = np.unique(mask, axis=0, return_inverse=True)
     for pi in range(patterns.shape[0]):
         rows = np.where(inverse == pi)[0]
         pat = patterns[pi]
         complete = bool(pat.all())
-        for start in range(0, len(rows), batch_size):
-            idx = rows[start : start + batch_size]
-            mu, nu, bi, ga, phi = run_batch(idx, pat, complete)
+        bs = batch_size if (complete and psi_c is None) else moments_batch
+        for start in range(0, len(rows), bs):
+            idx = rows[start : start + bs]
+            mu, nu, bi, ga, phi = run_batch(idx, pat, complete, bs)
             out["mu"][idx] = np.asarray(mu)
             out["nu"][idx] = np.asarray(nu)
             out["beta_i"][idx] = np.asarray(bi)

@@ -73,17 +73,21 @@ def _log_phi_diag(params, cfg, X, mask, psi):
     n_mis = X.shape[1] - n_obs
 
     Delta = X[:, None, :] - P[None, :, :]    # (n, m, d)
-    log_sigma_obs = fmask @ jnp.log(Sigma).T  # (n, m): sum_o log Sigma_jo
+    fm3 = fmask[:, None, :]                  # (n, 1, d)
+    # NB: these reductions are written as multiply+sum, NOT einsum — XLA:TPU
+    # lowers einsum contractions over tiny axes (d ~ 1-10) to batched dots
+    # whose compile time explodes (minutes for d=1)
+    log_sigma_obs = jnp.sum(jnp.log(Sigma)[None, :, :] * fm3, axis=-1)
 
     if psi is None:
-        quad = jnp.einsum("nmd,nd->nm", Delta**2 / Sigma[None, :, :], fmask)
+        quad = jnp.sum(Delta**2 / Sigma[None, :, :] * fm3, axis=-1)
         ln_phi = -0.5 * quad - 0.5 * n_mis[:, None] * _LN2
     else:
         ps = psi[:, None, :] + Sigma[None, :, :]          # (n, m, d)
-        quad = jnp.einsum("nmd,nd->nm", Delta**2 / ps, fmask)
+        quad = jnp.sum(Delta**2 / ps * fm3, axis=-1)
         # log(1 + psi/Sigma) correction (getPHI.m:104)
-        logr = jnp.einsum(
-            "nmd,nd->nm", jnp.log1p(psi[:, None, :] / Sigma[None, :, :]), fmask
+        logr = jnp.sum(
+            jnp.log1p(psi[:, None, :] / Sigma[None, :, :]) * fm3, axis=-1
         )
         ln_phi = -0.5 * quad - 0.5 * logr - 0.5 * n_mis[:, None] * _LN2
 
@@ -121,9 +125,10 @@ def _log_phi_full(params, cfg, X, mask, psi, complete):
     iSig = jnp.einsum("mij,mik->mjk", G, G)  # Gamma^T Gamma (getPHI.m:73)
 
     if complete and psi is None:
-        # quad = |Gamma Delta|^2 — no inverse needed at all
+        # quad = |Gamma Delta|^2 — no inverse needed at all (multiply+sum,
+        # not einsum: tiny-axis contractions compile pathologically on TPU)
         Delta = X[:, None, :] - P[None, :, :]
-        V = jnp.einsum("mij,nmj->nmi", G, Delta)
+        V = jnp.sum(G[None, :, :, :] * Delta[:, :, None, :], axis=-1)
         quad = jnp.sum(V * V, axis=-1)       # (n, m)
         L_iSig = safe_cholesky(iSig)
         logdet_Soo = -chol_logdet(L_iSig)[None, :]  # logdet(Sigma_j), (1, m)
