@@ -1,4 +1,5 @@
 from gpz_tpu.parallel.mesh import make_mesh, DATA_AXIS, RESTART_AXIS
+from gpz_tpu.parallel import distributed
 from gpz_tpu.parallel.sharded import (
     shard_dataset,
     sharded_value_and_grad,
@@ -18,4 +19,5 @@ __all__ = [
     "sharded_holdout_metrics",
     "train_sharded",
     "ensemble_grad_step",
+    "distributed",
 ]

@@ -108,3 +108,33 @@ def test_vi_sampler_shapes():
     rho = jnp.full(4, -1.0)
     s = sample_q(mu, rho, jax.random.PRNGKey(0), 32)
     assert s.shape == (32, 4)
+
+
+def test_sample_posterior_api(rng):
+    """End-to-end: train a small model, sample hyperparameter posterior,
+    produce posterior-predictive draws."""
+    import gpz_tpu
+    from gpz_tpu.inference import sample_posterior, predictive_draws
+
+    n = 200
+    X = rng.standard_normal((n, 1))
+    Y = np.sin(2 * X[:, 0]) + 0.1 * rng.standard_normal(n)
+    tr = np.ones(n, bool)
+    model = gpz_tpu.init(X, Y, "VL", 5, heteroscedastic=False, training=tr,
+                         seed=0, dtype="float64")
+    model = gpz_tpu.train(model, X, Y, training=tr, max_iter=40,
+                          verbose=False)
+    samples, info = sample_posterior(
+        model, X, Y, training=tr, num_warmup=80, num_samples=80,
+        num_chains=2, seed=0,
+    )
+    assert samples.shape[0] == 2 and samples.shape[1] == 80
+    assert float(info["accept_rate"].mean()) > 0.4
+
+    Xs = np.linspace(-2, 2, 20)[:, None]
+    mus, mean_mu, std_mu = predictive_draws(model, samples, info, Xs, thin=20)
+    assert mean_mu.shape == (20, 1)
+    assert np.all(np.isfinite(mean_mu)) and np.all(std_mu >= 0)
+    # posterior-predictive mean should track the MAP prediction
+    map_mu = gpz_tpu.predict(Xs, model).mu
+    assert np.max(np.abs(mean_mu - map_mu)) < 1.0
