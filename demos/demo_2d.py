@@ -6,6 +6,11 @@ Run: python demos/demo_2d.py [--m 50] [--method VD]
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 import numpy as np
 

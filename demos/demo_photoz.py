@@ -10,6 +10,11 @@ Run: python demos/demo_photoz.py [--m 100] [--method VC]
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import math
 
 import numpy as np

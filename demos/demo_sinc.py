@@ -5,6 +5,11 @@ Run: python demos/demo_sinc.py [--m 100] [--method VL] [--max-iter 500]
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import math
 
 import numpy as np

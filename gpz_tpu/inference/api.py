@@ -35,8 +35,9 @@ def sample_posterior(
     num_chains: int = 4,
     prior_scale: float = 3.0,
     seed: int = 0,
+    sampler: str = "hmc",
 ):
-    """HMC over hyperparameters, started from the trained MAP (model.best).
+    """HMC or NUTS over hyperparameters, from the trained MAP (model.best).
 
     Returns (samples (chains, draws, p), info) where info includes
     acceptance rates, step sizes, split-Rhat, and the unravel function to map
@@ -73,11 +74,22 @@ def sample_posterior(
         prior_mean=flat_map,
         prior_scale=prior_scale,
     )
-    samples, info = hmc_sample(
-        logp, flat_map, jax.random.PRNGKey(seed),
-        num_warmup=num_warmup, num_samples=num_samples,
-        num_chains=num_chains,
-    )
+    if sampler == "nuts":
+        from gpz_tpu.inference.nuts import nuts_sample
+
+        samples, info = nuts_sample(
+            logp, flat_map, jax.random.PRNGKey(seed),
+            num_warmup=num_warmup, num_samples=num_samples,
+            num_chains=num_chains,
+        )
+    elif sampler == "hmc":
+        samples, info = hmc_sample(
+            logp, flat_map, jax.random.PRNGKey(seed),
+            num_warmup=num_warmup, num_samples=num_samples,
+            num_chains=num_chains,
+        )
+    else:
+        raise ValueError(f"sampler must be 'hmc' or 'nuts', got {sampler!r}")
     info = dict(info)
     info["rhat"] = split_rhat(samples)
     info["unravel"] = unravel
