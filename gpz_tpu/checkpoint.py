@@ -10,11 +10,8 @@ training: load + train continues where it stopped, surviving preemption.
 from __future__ import annotations
 
 import dataclasses
-import io
 import json
-import math
 import os
-from typing import Optional
 
 import numpy as np
 import jax.numpy as jnp

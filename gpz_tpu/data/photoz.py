@@ -9,7 +9,7 @@ sample (the real file is a stripped blob in the reference mount,
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

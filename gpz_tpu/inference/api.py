@@ -9,8 +9,6 @@ and posterior-predictive means with between-sample spread.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ posterior as HMC. Returns the variational parameters and a sampler.
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

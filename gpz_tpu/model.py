@@ -26,7 +26,7 @@ from jax.flatten_util import ravel_pytree
 from gpz_tpu.config import ModelConfig, TrainConfig
 from gpz_tpu.dataset import Dataset
 from gpz_tpu.params import GPzParams
-from gpz_tpu import linalg, datautils
+from gpz_tpu import datautils
 from gpz_tpu.objective import nlog_ml, posterior, holdout_metrics, Posterior
 from gpz_tpu.prior import get_prior
 from gpz_tpu.optim import minimize

@@ -14,7 +14,6 @@ and `n_eff` carries the true sample count into the 1/(n k) normalization.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

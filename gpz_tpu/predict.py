@@ -22,9 +22,6 @@ GPz/predict.m:45-56 and dispatches each group here.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
@@ -87,8 +84,11 @@ def predict_moments_diag(params, post, priors, cfg: ModelConfig, X,
     # --- responsibilities + expected activations (PHI) ---
     SP = psi[:, None, :] + Sigma[None, :, :]               # (n, m, d)
     Delta = X[:, None, :] - P[None, :, :]
-    lnNo = jnp.einsum(
-        "nmd,d->nm", -0.5 * Delta**2 / SP - 0.5 * jnp.log(SP), om
+    # multiply+sum, not einsum: tiny-axis contractions compile
+    # pathologically on XLA:TPU (see phi.py)
+    lnNo = jnp.sum(
+        (-0.5 * Delta**2 / SP - 0.5 * jnp.log(SP)) * om[None, None, :],
+        axis=-1,
     )                                                      # (n, m)
     lnz = 0.5 * jnp.sum(jnp.log(Sigma), axis=1)            # (m,)
 
@@ -101,8 +101,9 @@ def predict_moments_diag(params, post, priors, cfg: ModelConfig, X,
         # Nij over unobserved dims (predictDiag.m:160)
         Sij = Sigma[:, None, :] + Sigma[None, :, :]        # (m, m, d)
         dP = P[:, None, :] - P[None, :, :]
-        lnNij_u = jnp.einsum(
-            "ijd,d->ij", -0.5 * dP**2 / Sij - 0.5 * jnp.log(Sij), um
+        lnNij_u = jnp.sum(
+            (-0.5 * dP**2 / Sij - 0.5 * jnp.log(Sij)) * um[None, None, :],
+            axis=-1,
         )
         PHI = jnp.exp(lnz)[None, :] * jnp.exp(lnNo) * (Pio @ jnp.exp(lnNij_u))
 
@@ -125,8 +126,9 @@ def predict_moments_diag(params, post, priors, cfg: ModelConfig, X,
     # (n, m, m, d) — the caller chunks rows to bound memory
     CP = Cij[None, :, :, :] + psi[:, None, None, :]        # (n, m, m, d)
     dxc = X[:, None, None, :] - cij[None, :, :, :]
-    lnNo_pair = jnp.einsum(
-        "nijd,d->nij", -0.5 * dxc**2 / CP - 0.5 * jnp.log(CP), om
+    lnNo_pair = jnp.sum(
+        (-0.5 * dxc**2 / CP - 0.5 * jnp.log(CP)) * om[None, None, None, :],
+        axis=-1,
     )
 
     if complete:
@@ -135,8 +137,9 @@ def predict_moments_diag(params, post, priors, cfg: ModelConfig, X,
         # GMM expectation over unobserved dims (predictDiag.m:181-186)
         SC = Sigma[:, None, None, :] + Cij[None, :, :, :]  # (l, i, j, d)
         dPc = P[:, None, None, :] - cij[None, :, :, :]
-        lnNu = jnp.einsum(
-            "lijd,d->lij", -0.5 * dPc**2 / SC - 0.5 * jnp.log(SC), um
+        lnNu = jnp.sum(
+            (-0.5 * dPc**2 / SC - 0.5 * jnp.log(SC)) * um[None, None, None, :],
+            axis=-1,
         )
         Ec = jnp.exp(lnNo_pair) * jnp.einsum(
             "nl,lij->nij", Pio, jnp.exp(lnNu)
