@@ -1,0 +1,98 @@
+"""Scaling-efficiency harness (the north-star ">0.8 efficiency" metric,
+BASELINE.json): weak-scaling of the SPMD objective over the data mesh axis.
+
+For each device count D, runs the n-sharded objective+gradient with n = D *
+ROWS_PER_DEVICE rows and reports throughput (rows/s) and parallel efficiency
+relative to D=1 (rows/s/device ratio). On real multi-chip hardware run as-is;
+on a single-chip/dev box use --cpu to measure over the virtual CPU mesh
+(validates the collective layout, not silicon speed).
+
+Usage:
+  python benchmarks/scaling.py [--cpu] [--rows 25000] [--m 100] [--method VC]
+
+Prints one JSON line per device count plus a summary line.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true",
+                    help="force an 8-device virtual CPU mesh")
+    ap.add_argument("--rows", type=int, default=25_000,
+                    help="rows per device (weak scaling)")
+    ap.add_argument("--m", type=int, default=100)
+    ap.add_argument("--d", type=int, default=5)
+    ap.add_argument("--method", default="VC")
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8"
+        )
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bench import make_problem
+    from gpz_tpu.parallel import make_mesh, shard_dataset, sharded_nlog_ml
+    from gpz_tpu.dataset import Dataset
+
+    n_dev_total = len(jax.devices())
+    counts = [c for c in (1, 2, 4, 8, 16, 32) if c <= n_dev_total]
+
+    results = []
+    for D in counts:
+        n = args.rows * D
+        cfg, params, data = make_problem(
+            n=n, d=args.d, m=args.m, method=args.method,
+        )
+        mesh = make_mesh(n_data=D, n_restart=1,
+                         devices=jax.devices()[:D])
+        sdata, n_eff = shard_dataset(data, mesh)
+
+        def loss(p):
+            return sharded_nlog_ml(p, sdata, cfg, mesh, n_eff, complete=True)[0]
+
+        @jax.jit
+        def run(p):
+            def body(i, acc):
+                g = jax.grad(loss)(jax.tree.map(lambda x: x + acc * 1e-30, p))
+                return acc + g.P[0, 0]
+            return jax.lax.fori_loop(0, args.iters, body, 0.0)
+
+        float(run(params))  # compile
+        t0 = time.perf_counter()
+        float(run(params))
+        dt = (time.perf_counter() - t0) / args.iters
+        rows_per_s = n / dt
+        results.append((D, rows_per_s))
+        print(json.dumps({
+            "devices": D, "rows": n,
+            "rows_per_sec": round(rows_per_s, 1),
+            "ms_per_grad_eval": round(dt * 1e3, 2),
+        }))
+
+    base = results[0][1] / results[0][0]
+    effs = {D: (r / D) / base for D, r in results}
+    print(json.dumps({
+        "metric": "weak_scaling_efficiency",
+        "per_device": {str(D): round(e, 3) for D, e in effs.items()},
+        "max_devices_efficiency": round(effs[results[-1][0]], 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
