@@ -121,6 +121,46 @@ def unrolled_solve_lower(L: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.stack(z, axis=-1)
 
 
+def unrolled_inv_psd(A: jax.Array, unroll_max: int = 8):
+    """(A^-1, log|A|) for huge batches of tiny PSD matrices.
+
+    Unrolled Cholesky + triangular inverse + Linv^T Linv, all elementwise
+    over the batch (see unrolled_cholesky for why lax.linalg is avoided).
+    Falls back to the lax path for d > unroll_max.
+    """
+    d = A.shape[-1]
+    if d > unroll_max:
+        L = jnp.linalg.cholesky(A)
+        eye = jnp.broadcast_to(jnp.eye(d, dtype=A.dtype), A.shape)
+        Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+        inv = jnp.einsum("...ki,...kj->...ij", Linv, Linv)
+        return inv, chol_logdet(L)
+
+    L = unrolled_cholesky(A)
+    Li = [[None] * d for _ in range(d)]
+    for j in range(d):
+        Li[j][j] = 1.0 / L[..., j, j]
+        for i in range(j + 1, d):
+            s = L[..., i, j] * Li[j][j]
+            for t in range(j + 1, i):
+                s = s + L[..., i, t] * Li[t][j]
+            Li[i][j] = -s / L[..., i, i]
+    zero = jnp.zeros_like(A[..., 0, 0])
+    rows = []
+    for a in range(d):
+        cols = []
+        for b in range(d):
+            lo = max(a, b)
+            acc = zero
+            for t in range(lo, d):
+                acc = acc + Li[t][a] * Li[t][b]
+            cols.append(acc)
+        rows.append(jnp.stack(cols, axis=-1))
+    inv = jnp.stack(rows, axis=-2)
+    logdet = 2.0 * sum(jnp.log(L[..., i, i]) for i in range(d))
+    return inv, logdet
+
+
 def quad_logdet_psd(A: jax.Array, delta: jax.Array, unroll_max: int = 8):
     """(delta^T A^-1 delta, log|A|) for batched PSD A [..., d, d].
 

@@ -413,10 +413,14 @@ def predict(
             out = tuple(o[: len(idx)] for o in out)
         return out
 
-    # the moment-matching path materializes (B, m, m[, d]) pair tensors;
-    # bound the per-batch footprint independently of the caller's batch_size
-    pair_budget = int(2e7)  # elements
-    moments_batch = max(32, min(batch_size, pair_budget // (cfg.m * cfg.m * d)))
+    # the moment-matching path materializes (B, m, m, d[, d]) pair tensors
+    # (plus factorization temporaries); bound the per-batch footprint
+    # independently of the caller's batch_size
+    pair_budget = int(1e7)  # elements
+    d_cost = d * d if cfg.full_cov else d
+    moments_batch = max(
+        16, min(batch_size, pair_budget // (cfg.m * cfg.m * d_cost))
+    )
 
     # group rows by missingness pattern (ref predict.m:45-56)
     patterns, inverse = np.unique(mask, axis=0, return_inverse=True)

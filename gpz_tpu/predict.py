@@ -28,7 +28,14 @@ import jax.numpy as jnp
 from gpz_tpu.config import ModelConfig
 from gpz_tpu.params import GPzParams
 from gpz_tpu.phi import design_matrix
-from gpz_tpu.linalg import safe_cholesky, chol_logdet, chol_solve, masked_psd
+from gpz_tpu.linalg import (
+    safe_cholesky,
+    chol_logdet,
+    chol_solve,
+    masked_psd,
+    quad_logdet_psd,
+    unrolled_inv_psd,
+)
 
 
 def _v_or_zero(params: GPzParams, cfg: ModelConfig):
@@ -186,10 +193,12 @@ def predict_moments_full(params, post, priors, cfg: ModelConfig, X,
     M = jnp.diag(om)                          # (d, d)
     eye = jnp.eye(d, dtype=X.dtype)
 
+    # all batched tiny (d x d) factorizations below use the unrolled VPU
+    # path (linalg.unrolled_*): lax.linalg lowering on TPU is both slow and
+    # HBM-hungry at these shapes
     iSig = jnp.einsum("mij,mik->mjk", G, G)   # (m, d, d)
-    L_iSig = safe_cholesky(iSig)
-    Sigma = chol_solve(L_iSig, jnp.broadcast_to(eye, (m, d, d)))
-    lnz = -0.5 * chol_logdet(L_iSig)          # = +0.5 logdet Sigma, (m,)
+    Sigma, logdet_iSig = unrolled_inv_psd(iSig)
+    lnz = -0.5 * logdet_iSig                  # = +0.5 logdet Sigma, (m,)
 
     Delta = X[:, None, :] - P[None, :, :]     # (n, m, d)
     Dm = Delta * om[None, None, :]
@@ -199,9 +208,8 @@ def predict_moments_full(params, post, priors, cfg: ModelConfig, X,
     SPoo = masked_psd(
         Sigma[None] + psi[:, None], mask_vec.astype(bool)[None, None, :]
     )
-    L_SPoo = jnp.linalg.cholesky(SPoo)
-    z = jax.scipy.linalg.solve_triangular(L_SPoo, Dm[..., None], lower=True)[..., 0]
-    lnNo = -0.5 * jnp.sum(z * z, -1) - 0.5 * chol_logdet(L_SPoo)  # (n, m)
+    quad_No, ld_No = quad_logdet_psd(SPoo, Dm)
+    lnNo = -0.5 * quad_No - 0.5 * ld_No       # (n, m)
 
     if complete:
         Pio = None
@@ -214,8 +222,8 @@ def predict_moments_full(params, post, priors, cfg: ModelConfig, X,
 
         # conditional imputation per basis (predictCov.m:169-174)
         A = masked_psd(Sigma, jnp.broadcast_to(mask_vec, (m, d)))  # (m, d, d)
-        L_A = safe_cholesky(A)
-        AiM = chol_solve(L_A, jnp.broadcast_to(M, (m, d, d)))      # A^-1 M
+        Ainv, _ = unrolled_inv_psd(A)
+        AiM = Ainv * om[None, None, :]                             # A^-1 M
         J = jnp.einsum("mij,mjk->mik", Sigma, AiM)                 # (m, d, d)
         X_hat = P[None, :, :] + jnp.einsum("mij,nmj->nmi", J, Delta)
         cond_cov = Sigma - jnp.einsum("mij,mjk->mik", J, Sigma)    # (m, d, d)
@@ -225,10 +233,9 @@ def predict_moments_full(params, post, priors, cfg: ModelConfig, X,
 
         # PHI_i = exp(lnz_i) sum_j Pio_j N(X_hat_j; P_i, Sigma_i + Psi_hat_j)
         SPH = Sigma[None, :, None] + Psi_hat[:, None, :, :]        # (n, i, j, d, d)
-        L_SPH = jnp.linalg.cholesky(SPH)
         dXh = X_hat[:, None, :, :] - P[None, :, None, :]           # (n, i, j, d)
-        zz = jax.scipy.linalg.solve_triangular(L_SPH, dXh[..., None], lower=True)[..., 0]
-        lnNfull = -0.5 * jnp.sum(zz * zz, -1) - 0.5 * chol_logdet(L_SPH)
+        quad_f, ld_f = quad_logdet_psd(SPH, dXh)
+        lnNfull = -0.5 * quad_f - 0.5 * ld_f
         PHI = jnp.exp(lnz)[None, :] * jnp.einsum(
             "nj,nij->ni", Pio, jnp.exp(lnNfull)
         )
@@ -238,35 +245,29 @@ def predict_moments_full(params, post, priors, cfg: ModelConfig, X,
 
     # --- pairwise quantities (predictCov.m:101-113) ---
     iCij = iSig[:, None] + iSig[None, :]                    # (m, m, d, d)
-    L_iCij = safe_cholesky(iCij)
-    Cij = chol_solve(L_iCij, jnp.broadcast_to(eye, (m, m, d, d)))
+    Cij, _ = unrolled_inv_psd(iCij)
     PiS = jnp.einsum("id,idk->ik", P, iSig)                 # (m, d)
     cij = jnp.einsum("ijd,ijdk->ijk", jnp.broadcast_to(
         PiS[:, None, :], (m, m, d)) + PiS[None, :, :], Cij)
     SS = Sigma[:, None] + Sigma[None, :]                    # (m, m, d, d)
-    L_SS = safe_cholesky(SS)
     dP = P[:, None, :] - P[None, :, :]
-    zp = jax.scipy.linalg.solve_triangular(L_SS, dP[..., None], lower=True)[..., 0]
+    quad_p, ld_p = quad_logdet_psd(SS, dP)
     lnZij = (
-        lnz[:, None] + lnz[None, :]
-        - 0.5 * jnp.sum(zp * zp, -1)
-        - 0.5 * chol_logdet(L_SS)
+        lnz[:, None] + lnz[None, :] - 0.5 * quad_p - 0.5 * ld_p
     )                                                       # (m, m)
 
     # E_c[N(c; cij, Cij)] over the predictive density of c
     if complete:
         CP = Cij[None] + psi[:, None, None]                 # (n, m, m, d, d)
-        L_CP = jnp.linalg.cholesky(CP)
         dxc = X[:, None, None, :] - cij[None, :, :, :]
-        zc = jax.scipy.linalg.solve_triangular(L_CP, dxc[..., None], lower=True)[..., 0]
-        Ec = jnp.exp(-0.5 * jnp.sum(zc * zc, -1) - 0.5 * chol_logdet(L_CP))
+        quad_c, ld_c = quad_logdet_psd(CP, dxc)
+        Ec = jnp.exp(-0.5 * quad_c - 0.5 * ld_c)
     else:
         # sum over mixture components l (predictCov.m:197-202,301-306)
         CPl = Cij[None, None] + Psi_hat[:, :, None, None]   # (n, l, i, j, d, d)
-        L_CPl = jnp.linalg.cholesky(CPl)
         dxc = X_hat[:, :, None, None, :] - cij[None, None, :, :, :]
-        zc = jax.scipy.linalg.solve_triangular(L_CPl, dxc[..., None], lower=True)[..., 0]
-        lnNc = -0.5 * jnp.sum(zc * zc, -1) - 0.5 * chol_logdet(L_CPl)
+        quad_c, ld_c = quad_logdet_psd(CPl, dxc)
+        lnNc = -0.5 * quad_c - 0.5 * ld_c
         Ec = jnp.einsum("nl,nlij->nij", Pio, jnp.exp(lnNc))
 
     ZN = jnp.exp(lnZij)[None] * Ec                          # (n, m, m)
