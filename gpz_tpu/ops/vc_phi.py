@@ -37,6 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 BN = 128      # forward tile; Mosaic scoped-VMEM stack accounting caps this
 BN_BWD = 96   # backward tile: VJP holds ~2.5x more live planes than fwd
+BM = 256      # basis (lane) tile: bases are tiled so m is unbounded
 
 
 def pallas_enabled() -> bool:
@@ -182,6 +183,24 @@ def _pad_rows(X, psi, bn):
     return X, psi, n, n_pad
 
 
+def _pad_bases(P_t, Sigma_t, lds, m):
+    """Pad the basis (lane) axis to a BM multiple. Padded bases get
+    Sigma = I (so the factorization stays finite); their lnPHI columns and
+    gradient columns are sliced away by the wrappers."""
+    m_pad = -(-m // BM) * BM
+    if m_pad == m:
+        return P_t, Sigma_t, lds, m_pad
+    d = P_t.shape[0]
+    pad = m_pad - m
+    P_t = jnp.pad(P_t, ((0, 0), (0, pad)))
+    eye_cols = jnp.tile(
+        jnp.eye(d, dtype=Sigma_t.dtype).reshape(d * d, 1), (1, pad)
+    )
+    Sigma_t = jnp.concatenate([Sigma_t, eye_cols], axis=1)
+    lds = jnp.pad(lds, ((0, 0), (0, pad)))
+    return P_t, Sigma_t, lds, m_pad
+
+
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -193,64 +212,73 @@ def _vc_fwd(X, psi, P, Sigma, logdet_Sigma):
     P_t = P.T                                    # (d, m)
     Sigma_t = Sigma.reshape(m, d * d).T          # (d^2, m)
     lds = logdet_Sigma[None, :]                  # (1, m)
+    P_t, Sigma_t, lds, m_pad = _pad_bases(P_t, Sigma_t, lds, m)
+    bm = min(BM, m_pad)
 
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, d=d),
-        grid=(n_pad // BN,),
+        grid=(n_pad // BN, m_pad // bm),
         in_specs=[
-            pl.BlockSpec((BN, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BN, d, d), lambda i: (i, 0, 0),
+            pl.BlockSpec((BN, d), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d * d, m), lambda i: (0, 0),
+            pl.BlockSpec((BN, d, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, bm), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d * d, bm), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bm), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((BN, m), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((BN, bm), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad, m), X.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_pad, m_pad), X.dtype),
         interpret=_interpret(),
     )(X, psi, P_t, Sigma_t, lds)
-    out = out[:n0]
+    out = out[:n0, :m]
     return out, (X, psi, P_t, Sigma_t, n0, n_pad)
 
 
 def _vc_bwd(res, g):
     X, psi, P_t, Sigma_t, n0, n_pad = res
     d = X.shape[1]
-    m = P_t.shape[1]
+    m_pad = P_t.shape[1]                          # already lane-padded
+    m = g.shape[1]
     # re-pad to the (smaller) backward tile
     X, psi, _, n_pad = _pad_rows(X[:n0], psi[:n0], BN_BWD)
-    g_pad = jnp.pad(g, ((0, n_pad - n0), (0, 0)))
+    g_pad = jnp.pad(g, ((0, n_pad - n0), (0, m_pad - m)))
+    bm = min(BM, m_pad)
 
     dp_t, dsig_t = pl.pallas_call(
         functools.partial(_bwd_kernel, d=d),
-        grid=(n_pad // BN_BWD,),
+        grid=(n_pad // BN_BWD, m_pad // bm),
         in_specs=[
-            pl.BlockSpec((BN_BWD, d), lambda i: (i, 0),
+            pl.BlockSpec((BN_BWD, d), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BN_BWD, d, d), lambda i: (i, 0, 0),
+            pl.BlockSpec((BN_BWD, d, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d * d, m), lambda i: (0, 0),
+            pl.BlockSpec((d, bm), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BN_BWD, m), lambda i: (i, 0),
+            pl.BlockSpec((d * d, bm), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN_BWD, bm), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((d, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d * d, m), lambda i: (0, 0),
+            pl.BlockSpec((d, bm), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d * d, bm), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((d, m), X.dtype),
-            jax.ShapeDtypeStruct((d * d, m), X.dtype),
+            jax.ShapeDtypeStruct((d, m_pad), X.dtype),
+            jax.ShapeDtypeStruct((d * d, m_pad), X.dtype),
         ],
         interpret=_interpret(),
     )(X, psi, P_t, Sigma_t, g_pad)
 
-    dP = dp_t.T                                   # (m, d)
-    dSigma = dsig_t.T.reshape(m, d, d)
+    dP = dp_t[:, :m].T                            # (m, d)
+    dSigma = dsig_t[:, :m].T.reshape(m, d, d)
     d_logdet = 0.5 * jnp.sum(g, axis=0)           # (m,)
     dX = jnp.zeros((n0, d), X.dtype)
     dpsi = jnp.zeros((n0, d, d), X.dtype)

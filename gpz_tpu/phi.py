@@ -106,9 +106,10 @@ PHI_BLOCK_ROWS = 4096
 
 
 def _use_vc_kernel(dtype, d: int, m: int) -> bool:
-    """Gate for the fused Pallas VC kernel: TPU backend, float32, and sizes
-    whose ~(2 d^2 + 3 d) live (tile, m) planes fit VMEM."""
-    if jnp.dtype(dtype) != jnp.float32 or d > 6 or m > 512:
+    """Gate for the fused Pallas VC kernel: TPU backend, float32, small d
+    (the kernel holds ~2 d^2 live (row-tile, basis-tile) planes in VMEM;
+    the basis axis is tiled so m is unbounded)."""
+    if jnp.dtype(dtype) != jnp.float32 or d > 6:
         return False
     from gpz_tpu.ops.vc_phi import pallas_enabled
 

@@ -79,3 +79,24 @@ def test_integrates_with_objective_grad(rng):
             e = jnp.zeros_like(P).at[i, j].set(eps)
             fd[i, j] = (float(f(P + e)) - float(f(P - e))) / (2 * eps)
     np.testing.assert_allclose(np.asarray(g), fd, rtol=1e-4, atol=1e-8)
+
+
+def test_forward_parity_m_tiling(rng):
+    """m larger than one basis tile exercises the lane-axis grid."""
+    from gpz_tpu.ops import vc_phi
+    old = vc_phi.BM
+    vc_phi.BM = 4  # force multiple basis tiles in interpret mode
+    try:
+        X, psi, P, Sigma, logdet = make_inputs(rng, n=23, d=3, m=11)
+        got = vc_lnphi_complete(X, psi, P, Sigma, logdet)
+        want = ref_lnphi(X, psi, P, Sigma, logdet)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-8, atol=1e-10)
+        # gradient through the tiled backward
+        w = jnp.asarray(rng.standard_normal((23, 11)))
+        g1 = jax.grad(lambda S: jnp.sum(vc_lnphi_complete(X, psi, P, S, logdet) * w))(Sigma)
+        g2 = jax.grad(lambda S: jnp.sum(ref_lnphi(X, psi, P, S, logdet) * w))(Sigma)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-7, atol=1e-9)
+    finally:
+        vc_phi.BM = old
