@@ -106,3 +106,19 @@ def test_retrain_continues(trained):
         max_iter=5, verbose=False,
     )
     assert m2.best.score >= model.best.score - 1e-9
+
+
+def test_init_shapes_all_methods(rng):
+    """init produces the correct canonical Gamma shape and a working
+    posterior for every method (ref init.m:65-86 shape table)."""
+    import gpz_tpu
+    from gpz_tpu.config import ModelConfig
+
+    X = rng.standard_normal((60, 3))
+    Y = np.sin(X[:, 0])
+    for method in ["GL", "VL", "GD", "VD", "GC", "VC"]:
+        model = gpz_tpu.init(X, Y, method, 4, dtype="float64", seed=0)
+        cfg = model.cfg
+        assert cfg.method == method
+        assert model.last.params.gamma.shape == cfg.gamma_shape
+        assert np.all(np.isfinite(np.asarray(model.last.post.w)))
