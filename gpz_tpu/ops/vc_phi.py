@@ -35,9 +35,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BN = 128      # forward tile; Mosaic scoped-VMEM stack accounting caps this
-BN_BWD = 96   # backward tile: VJP holds ~2.5x more live planes than fwd
-BM = 256      # basis (lane) tile: bases are tiled so m is unbounded
+# Tile sizes. The (BN, BM) plane set of the forward kernel must fit Mosaic's
+# scoped-VMEM stack budget (16 MB on v5e) *including* the jvp/transpose copies
+# XLA adds when the call sits under value_and_grad — BM=256 tiles exceed it.
+# 96x128 measured fastest of the fitting configs on v5e (53 vs 49-51 grad
+# evals/s on the m=100 n=100k bench). Env-tunable for per-chip autotuning.
+BN = int(os.environ.get("GPZ_VC_BN", 96))        # row (sublane) tile
+BN_BWD = int(os.environ.get("GPZ_VC_BN_BWD", 96))  # backward row tile
+BM = int(os.environ.get("GPZ_VC_BM", 128))       # basis (lane) tile
 
 
 def pallas_enabled() -> bool:
