@@ -49,6 +49,17 @@ if _os.environ.get("GPZ_NO_CACHE") != "1":  # pragma: no branch
     except (OSError, AttributeError):  # pragma: no cover
         pass
 
+# x64 must be available for the solve_dtype=float64 path (ModelConfig): the
+# objective VALUE is computed in f64 from the Gram reduction onward so the
+# Wolfe line search and progress tests can resolve late-stage decreases
+# (f32-only objectives stall the optimizer within a handful of iterations).
+# Tensor compute (design matrix, Pallas kernels, prediction) stays f32.
+# Opt out with GPZ_NO_X64=1 (solve_dtype then degrades to f32 silently).
+if _os.environ.get("GPZ_NO_X64") != "1":  # pragma: no branch
+    import jax as _jax2
+
+    _jax2.config.update("jax_enable_x64", True)
+
 from gpz_tpu.config import ModelConfig, TrainConfig, PredictConfig
 from gpz_tpu.params import GPzParams
 from gpz_tpu.dataset import Dataset

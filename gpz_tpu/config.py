@@ -30,6 +30,14 @@ class ModelConfig:
     heteroscedastic: bool = True
     normalize: bool = True
     dtype: str = "float32"      # compute dtype ("float32" on TPU, "float64" for parity tests)
+    # dtype from the Gram accumulation onward (m x m solve, logdet, every
+    # scalar evidence term). The objective VALUE must resolve differences far
+    # below float32 eps for the Wolfe line search and progress tests to work
+    # (ref minFunc progTol=1e-9 — meaningless in f32); on TPU the f64 Gram
+    # einsum measures as fast as f32 (m << n, bandwidth-bound), so the
+    # default is full f64 from the reduction boundary on. Requires x64
+    # (enabled by gpz_tpu.__init__); degrades gracefully to f32 without it.
+    solve_dtype: str = "float64"
 
     def __post_init__(self):
         if self.method not in METHODS:

@@ -59,15 +59,23 @@ def _to_dtype(cfg: ModelConfig):
     return jnp.dtype(cfg.dtype)
 
 
+def _np_dev(x, dtype):
+    """Host-side dtype cast, then one clean transfer. jnp.asarray(f64, f32)
+    would ship the double-width bytes and compile a device convert program —
+    on a remote-compile backend every such tiny program is an HTTP round
+    trip, which dominated init() wall time at 100k rows."""
+    return jnp.asarray(np.asarray(x, dtype))
+
+
 def _make_dataset(Xn, Yc, psi, omega, rows, dtype) -> Dataset:
     Xr = Xn[rows]
     mask = ~np.isnan(Xr)
     return Dataset(
-        X=jnp.asarray(np.where(mask, Xr, 0.0), dtype),
+        X=_np_dev(np.where(mask, Xr, 0.0), dtype),
         mask=jnp.asarray(mask),
-        omega=jnp.asarray(omega[rows], dtype),
-        Y=None if Yc is None else jnp.asarray(Yc[rows], dtype),
-        psi=None if psi is None else jnp.asarray(psi[rows], dtype),
+        omega=_np_dev(omega[rows], dtype),
+        Y=None if Yc is None else _np_dev(Yc[rows], dtype),
+        psi=None if psi is None else _np_dev(psi[rows], dtype),
     )
 
 
@@ -153,10 +161,10 @@ def init(
 
     dt = _to_dtype(cfg)
     params = GPzParams(
-        P=jnp.asarray(P, dt),
-        gamma=jnp.asarray(g0, dt),
-        ln_alpha=jnp.asarray(ln_alpha, dt),
-        b=jnp.asarray(b, dt),
+        P=_np_dev(P, dt),
+        gamma=_np_dev(g0, dt),
+        ln_alpha=_np_dev(ln_alpha, dt),
+        b=_np_dev(b, dt),
         v=jnp.zeros((m, k), dt) if heteroscedastic else None,
         ln_tau=jnp.zeros((m, k), dt) if heteroscedastic else None,
     )
@@ -221,19 +229,26 @@ def train(
 
     flat0, unravel = ravel_pytree(model.last.params)
     vg = jax.value_and_grad(
-        lambda p: nlog_ml(p, data_tr, cfg, complete=complete_tr),
+        lambda p, d: nlog_ml(p, d, cfg, complete=complete_tr),
         has_aux=True,
     )
 
-    def fun(flat):
-        (f, aux), g = vg(unravel(flat))
+    # datasets ride through minimize's `args`, NOT the closures: closed-over
+    # arrays become compiled-in constants, which bloats the program and keys
+    # the persistent compilation cache on the data bytes (any new catalog of
+    # the same shape would recompile the whole training loop).
+    def fun(flat, d_tr, *_):
+        (f, aux), g = vg(unravel(flat), d_tr)
         return f, ravel_pytree(g)[0], aux
 
     score_fn = None
+    min_args = (data_tr,)
     if has_valid:
-        def score_fn(flat, aux):
+        min_args = (data_tr, data_va)
+
+        def score_fn(flat, aux, _d_tr, d_va):
             rmse, ll = holdout_metrics(
-                unravel(flat), aux.w, data_va, cfg, complete=complete_va
+                unravel(flat), aux.w, d_va, cfg, complete=complete_va
             )
             return ll, {
                 "valid_rmse": rmse,
@@ -252,6 +267,7 @@ def train(
         res = minimize(
             fun,
             flat0,
+            args=min_args,
             history=tc.history,
             max_iter=tc.max_iter,
             opt_tol=tc.opt_tol,
@@ -397,8 +413,8 @@ def predict(
         if len(idx) < bs and len(rows) > bs:
             pad = bs - len(idx)
         sel = np.concatenate([idx, np.repeat(idx[-1:], pad)])
-        Xg = jnp.asarray(Xz[sel], dt)
-        psig = None if psi_c is None else jnp.asarray(psi_c[sel], dt)
+        Xg = _np_dev(Xz[sel], dt)
+        psig = None if psi_c is None else _np_dev(psi_c[sel], dt)
         if complete and psig is None:
             out = clean_fn(pset.params, pset.post, Xg)
         else:
@@ -407,7 +423,7 @@ def predict(
                 psig = jnp.zeros(shape, dt)
             out = moments_fn(
                 pset.params, pset.post, pset.priors, Xg,
-                jnp.asarray(pat.astype(np.float64), dt), psig, complete,
+                _np_dev(pat, dt), psig, complete,
             )
         if pad:
             out = tuple(o[: len(idx)] for o in out)

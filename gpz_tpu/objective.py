@@ -86,20 +86,29 @@ def _gram_terms(
     and rhs are psum-reduced; the m x m solve is replicated on every device.
     """
     r = _reducer(axis_name)
+    sdt = jnp.dtype(cfg.solve_dtype)
     PHI, _, ln_beta = design_matrix(params, cfg, data.X, data.mask, data.psi, complete)
     beta = jnp.exp(-ln_beta)                             # (n, k)
     ob = data.omega[:, None] * beta                      # (n, k)
-    alpha = jnp.exp(params.ln_alpha)                     # (m, k)
+    alpha = jnp.exp(params.ln_alpha.astype(sdt))         # (m, k)
 
+    # From here on the REDUCED quantities live in solve_dtype (f64 by
+    # default): the Gram is a sum of ~n rank-1 terms whose f32 rounding
+    # (~sqrt(n) eps) would cap the resolvable objective decrease and stall
+    # the Wolfe search. The big (n, m) tensors stay f32 — the dots upcast on
+    # the MXU via preferred_element_type, which measures ~5x cheaper than
+    # materializing f64 copies of PHI.
     # SIGMA_k = PHI^T diag(ob_k) PHI + diag(alpha_k)   (ref GPz.m:63-65)
-    A = r(jnp.einsum("nm,nk,nj->kmj", PHI, ob, PHI))
+    A = r(jnp.einsum("nm,nk,nj->kmj", PHI, ob, PHI,
+                     preferred_element_type=sdt))
     SIGMA = A + jax.vmap(jnp.diag)(alpha.T)              # (k, m, m)
     L = safe_cholesky(SIGMA)
     logdet = chol_logdet(L)                              # (k,)
 
-    rhs = r(PHI.T @ (ob * data.Y))                       # (m, k)
+    rhs = r(jnp.einsum("nm,nk->mk", PHI, ob * data.Y,
+                       preferred_element_type=sdt))      # (m, k)
     w = chol_solve(L, rhs.T[..., None])[..., 0].T        # (m, k)
-    return PHI, ln_beta, beta, ob, alpha, L, logdet, w
+    return PHI, ln_beta, beta, ob, alpha, L, logdet, w, rhs
 
 
 def nlog_ml(
@@ -120,44 +129,67 @@ def nlog_ml(
     analytic gradient of ref GPz.m:89-234 falls out of AD (including through
     the psums, whose transpose XLA handles).
     """
+    sdt = jnp.dtype(cfg.solve_dtype)
     if n_eff is None:
-        n_eff = jnp.asarray(data.n, data.X.dtype)
+        n_eff = jnp.asarray(data.n, sdt)
+    else:
+        n_eff = n_eff.astype(sdt)
     r = _reducer(axis_name)
     k = cfg.k
-    PHI, ln_beta, beta, ob, alpha, L, logdet, w = _gram_terms(
+    PHI, ln_beta, beta, ob, alpha, L, logdet, w, rhs = _gram_terms(
         params, cfg, data, complete, axis_name
     )
-
-    delta = PHI @ w - data.Y                             # (n, k)
-    obd = ob * delta
+    # Every scalar evidence term accumulates in solve_dtype (f32 sums over n
+    # can't resolve the per-iteration objective decreases the optimizer's
+    # progress tests compare against). The data-fit quadratic uses the exact
+    # normal-equations identity: with A = SIGMA - diag(alpha) and
+    # SIGMA w = rhs (w is the Cholesky solve),
+    #   sum_i ob (phi_i'w - y_i)^2 = w'Aw - 2 w'rhs + sum_i ob y^2
+    #                              = sum_i ob y^2 - w'rhs - sum alpha w^2,
+    # so the whole term is built from the already-f64 (m-sized) reductions
+    # plus one f64-accumulated n-scalar — no (n, k) f64 tensor ever exists.
+    # The identity holds for every theta (w is theta's solve), so AD through
+    # this form gives the same gradient as the explicit residual form.
+    obyy = r(jnp.sum(ob * data.Y * data.Y, axis=0, dtype=sdt))   # (k,)
+    wrhs = jnp.sum(w * rhs, axis=0)                              # (k,)
+    aw2 = jnp.sum(alpha * w**2, axis=0)                          # (k,)
+    quad = obyy - wrhs - aw2
 
     # per-k evidence terms (ref GPz.m:81-82)
     log_ml = (
-        -0.5 * r(jnp.sum(obd * delta, axis=0))
-        - 0.5 * jnp.sum(alpha * w**2, axis=0)
-        + 0.5 * jnp.sum(params.ln_alpha, axis=0)
+        -0.5 * quad
+        - 0.5 * aw2
+        + 0.5 * jnp.sum(params.ln_alpha.astype(sdt), axis=0)
         - 0.5 * logdet
-        - 0.5 * r(jnp.sum(ln_beta * data.omega[:, None], axis=0))
+        - 0.5 * r(jnp.sum(ln_beta * data.omega[:, None], axis=0, dtype=sdt))
     )
 
     if params.heteroscedastic:
-        tau = jnp.exp(params.ln_tau)
+        tau = jnp.exp(params.ln_tau.astype(sdt))
         # prior on v (ref GPz.m:103)
         log_ml = log_ml + (
-            -0.5 * jnp.sum(params.v**2 * tau, axis=0)
-            + 0.5 * jnp.sum(params.ln_tau, axis=0)
+            -0.5 * jnp.sum(params.v.astype(sdt)**2 * tau, axis=0)
+            + 0.5 * jnp.sum(params.ln_tau.astype(sdt), axis=0)
             - 0.5 * cfg.m * _LN2PI
         )
 
-    total = jnp.sum(log_ml) - 0.5 * _LN2PI * k * r(jnp.sum(data.omega))
+    total = jnp.sum(log_ml) - 0.5 * _LN2PI * k * r(
+        jnp.sum(data.omega, dtype=sdt)
+    )
     nlml = -total / (n_eff * k)
 
-    # train metrics (ref GPz.m:236-237), explicit instead of globals
+    # train metrics (ref GPz.m:236-237), explicit instead of globals.
+    # delta is metrics-only, so the (n, k) residual stays in the compute
+    # dtype; only the scalar accumulations happen in solve_dtype.
+    delta = PHI @ w.astype(PHI.dtype) - data.Y           # (n, k)
     train_rmse = jnp.sqrt(
-        r(jnp.sum(data.omega[:, None] * delta**2)) / (n_eff * k)
+        r(jnp.sum(data.omega[:, None] * delta**2, dtype=sdt)) / (n_eff * k)
     )
     train_ll = (
-        r(jnp.sum(data.omega[:, None] * (-0.5 * beta * delta**2 - 0.5 * ln_beta)))
+        r(jnp.sum(
+            data.omega[:, None] * (-0.5 * beta * delta**2 - 0.5 * ln_beta),
+            dtype=sdt,
+        ))
         / (n_eff * k)
         - 0.5 * _LN2PI
     )
@@ -173,13 +205,17 @@ def posterior(
 ) -> Posterior:
     """Posterior weights + full Gram inverse (the reference's "weights-only"
     nargout trick, GPz.m:84-87, made an explicit function per SURVEY §3.4)."""
-    _, _, _, _, _, L, logdet, w = _gram_terms(
+    _, _, _, _, _, L, logdet, w, _ = _gram_terms(
         params, cfg, data, complete, axis_name
     )
     m = cfg.m
-    eye = jnp.broadcast_to(jnp.eye(m, dtype=data.X.dtype), (cfg.k, m, m))
+    eye = jnp.broadcast_to(jnp.eye(m, dtype=L.dtype), (cfg.k, m, m))
     iSigma_w = chol_solve(L, eye)
-    return Posterior(w=w, iSigma_w=iSigma_w, logdet=logdet)
+    # stored posterior state feeds the (f32, Pallas-tiled) prediction stack —
+    # cast back to the compute dtype
+    dt = jnp.dtype(cfg.dtype)
+    return Posterior(w=w.astype(dt), iSigma_w=iSigma_w.astype(dt),
+                     logdet=logdet.astype(dt))
 
 
 def holdout_metrics(
@@ -197,16 +233,23 @@ def holdout_metrics(
     training posterior's w; nu is computed there but unused by the metrics).
     Returns (rmse, ll).
     """
+    sdt = jnp.dtype(cfg.solve_dtype)
     if n_eff is None:
-        n_eff = jnp.asarray(data.n, data.X.dtype)
+        n_eff = jnp.asarray(data.n, sdt)
+    else:
+        n_eff = n_eff.astype(sdt)
     r = _reducer(axis_name)
     PHI, _, ln_beta = design_matrix(params, cfg, data.X, data.mask, data.psi, complete)
     beta = jnp.exp(-ln_beta)
-    delta = PHI @ w - data.Y
+    delta = PHI.astype(sdt) @ w.astype(sdt) - data.Y.astype(sdt)
     k = cfg.k
     rmse = jnp.sqrt(r(jnp.sum(data.omega[:, None] * delta**2)) / (n_eff * k))
     ll = (
-        r(jnp.sum(data.omega[:, None] * (-0.5 * beta * delta**2 - 0.5 * ln_beta)))
+        r(jnp.sum(
+            data.omega[:, None].astype(sdt)
+            * (-0.5 * beta.astype(sdt) * delta**2
+               - 0.5 * ln_beta.astype(sdt)),
+        ))
         / (n_eff * k)
         - 0.5 * _LN2PI
     )

@@ -45,6 +45,9 @@ BN_BWD = int(os.environ.get("GPZ_VC_BN_BWD", 96))  # backward row tile
 BM = int(os.environ.get("GPZ_VC_BM", 128))       # basis (lane) tile
 
 
+_I0 = np.int32(0)  # index-map literal: i32 even under jax_enable_x64
+
+
 def pallas_enabled() -> bool:
     """Pallas path is used on TPU unless disabled via GPZ_DISABLE_PALLAS=1."""
     if os.environ.get("GPZ_DISABLE_PALLAS") == "1":
@@ -224,15 +227,15 @@ def _vc_fwd(X, psi, P, Sigma, logdet_Sigma):
         functools.partial(_fwd_kernel, d=d),
         grid=(n_pad // BN, m_pad // bm),
         in_specs=[
-            pl.BlockSpec((BN, d), lambda i, j: (i, 0),
+            pl.BlockSpec((BN, d), lambda i, j: (i, _I0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BN, d, d), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((BN, d, d), lambda i, j: (i, _I0, _I0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, bm), lambda i, j: (0, j),
+            pl.BlockSpec((d, bm), lambda i, j: (_I0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((d * d, bm), lambda i, j: (0, j),
+            pl.BlockSpec((d * d, bm), lambda i, j: (_I0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bm), lambda i, j: (0, j),
+            pl.BlockSpec((1, bm), lambda i, j: (_I0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((BN, bm), lambda i, j: (i, j),
@@ -258,21 +261,21 @@ def _vc_bwd(res, g):
         functools.partial(_bwd_kernel, d=d),
         grid=(n_pad // BN_BWD, m_pad // bm),
         in_specs=[
-            pl.BlockSpec((BN_BWD, d), lambda i, j: (i, 0),
+            pl.BlockSpec((BN_BWD, d), lambda i, j: (i, _I0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BN_BWD, d, d), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((BN_BWD, d, d), lambda i, j: (i, _I0, _I0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, bm), lambda i, j: (0, j),
+            pl.BlockSpec((d, bm), lambda i, j: (_I0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((d * d, bm), lambda i, j: (0, j),
+            pl.BlockSpec((d * d, bm), lambda i, j: (_I0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BN_BWD, bm), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((d, bm), lambda i, j: (0, j),
+            pl.BlockSpec((d, bm), lambda i, j: (_I0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((d * d, bm), lambda i, j: (0, j),
+            pl.BlockSpec((d * d, bm), lambda i, j: (_I0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[

@@ -106,10 +106,12 @@ def wolfe_line_search(fun, x, f0, g0, d, t0, c1, c2, max_ls, prog_tol, aux0):
     point is returned.
     """
     gtd0 = jnp.vdot(g0, d)
-    dtype = f0.dtype
+    dtype = x.dtype  # step-scalar dtype: the objective VALUE may be wider
+    # (solve_dtype=f64) than the parameters; trial points x + t d must stay
+    # in the parameter dtype or every gradient flips to f64
 
     def eval_at(t):
-        f, g, aux = fun(x + t * d)
+        f, g, aux = fun(x + t.astype(x.dtype) * d)
         # non-finite trial values read as +inf: the search then backtracks,
         # playing the role of minFunc's Armijo fallback (WolfeLineSearch.m:53)
         bad = ~jnp.isfinite(f)
@@ -176,7 +178,7 @@ def wolfe_line_search(fun, x, f0, g0, d, t0, c1, c2, max_ls, prog_tol, aux0):
         t_next = _cubic_min(
             s.t_prev, s.f_prev, s.gtd_prev, s.t, s.f_new, gtd_new,
             min_step, max_step,
-        )
+        ).astype(s.t.dtype)
         t_next = jnp.where(jnp.isfinite(s.f_new), t_next, s.t * 0.5)
 
         cont = ~(done | bracketed)
@@ -252,7 +254,7 @@ def wolfe_line_search(fun, x, f0, g0, d, t0, c1, c2, max_ls, prog_tol, aux0):
         t = _cubic_min(
             s.t_lo, s.f_lo, s.gtd_lo, s.t_hi, s.f_hi, s.gtd_hi,
             lo_b, hi_b,
-        )
+        ).astype(s.t.dtype)
         # safeguard: keep strictly interior (minFunc insufficient-progress rule)
         t = jnp.clip(t, lo_b + 0.1 * width, hi_b - 0.1 * width)
         t = jnp.where(jnp.isfinite(s.f_hi), t, 0.5 * (lo_b + hi_b))
@@ -388,6 +390,7 @@ def minimize(
     fun: Callable,
     x0: jax.Array,
     *,
+    args: tuple = (),
     history: int = 100,
     max_iter: int = 200,
     opt_tol: float = 1e-5,
@@ -406,10 +409,22 @@ def minimize(
     (the reference's validation LL). `best_x` tracks the argmax-score iterate;
     `max_attempts` successive non-improving iterations trigger early stopping
     (ref GPz/callBack.m:26-34; improvement uses >=, matching the reference).
+
+    `args` is a pytree of extra runtime inputs appended to every `fun` /
+    `score_fn` call (`fun(x, *args)`). Pass the training data here rather
+    than closing over it: closed-over arrays are baked into the compiled
+    program as constants, which bloats it and makes the persistent
+    compilation cache key depend on the data bytes — with `args`, any
+    same-shaped dataset reuses the compiled optimizer.
     """
     p = x0.shape[0]
     dtype = x0.dtype
     record_len = record_len or (max_iter + 1)
+
+    user_fun, user_score = fun, score_fn
+    fun = lambda x: user_fun(x, *args)          # noqa: E731
+    if user_score is not None:
+        score_fn = lambda x, aux: user_score(x, aux, *args)  # noqa: E731
 
     f0, g0, aux0 = fun(x0)
     if score_fn is None:

@@ -84,20 +84,24 @@ def sharded_holdout_metrics(params, w, data, cfg: ModelConfig, mesh: Mesh,
     return fn(params, w, data, n_eff)
 
 
-def sharded_value_and_grad(unravel, data, cfg: ModelConfig, mesh: Mesh,
-                           n_eff, complete: bool = False):
-    """Flat-vector objective closure for the L-BFGS optimizer, with the loss
-    computed SPMD over the mesh. Gradients flow through the psums (their
-    transpose is handled by XLA's SPMD partitioner)."""
+def sharded_value_and_grad(unravel, cfg: ModelConfig, mesh: Mesh,
+                           complete: bool = False):
+    """Flat-vector objective for the L-BFGS optimizer, with the loss computed
+    SPMD over the mesh. Gradients flow through the psums (their transpose is
+    handled by XLA's SPMD partitioner).
+
+    Returns fun(flat, data, n_eff, *ignored) — the dataset is a runtime
+    argument (threaded through minimize's `args`) so the compiled training
+    loop is reusable across same-shaped datasets."""
     from jax.flatten_util import ravel_pytree
 
     vg = jax.value_and_grad(
-        lambda p: sharded_nlog_ml(p, data, cfg, mesh, n_eff, complete),
+        lambda p, d, ne: sharded_nlog_ml(p, d, cfg, mesh, ne, complete),
         has_aux=True,
     )
 
-    def fun(flat):
-        (f, aux), g = vg(unravel(flat))
+    def fun(flat, data, n_eff, *_):
+        (f, aux), g = vg(unravel(flat), data, n_eff)
         return f, ravel_pytree(g)[0], aux
 
     return fun
@@ -124,21 +128,24 @@ def train_sharded(
     tc = tc or TrainConfig()
     sdata, n_eff = shard_dataset(data, mesh)
     flat0, unravel = ravel_pytree(params0)
-    fun = sharded_value_and_grad(unravel, sdata, cfg, mesh, n_eff, complete)
+    fun = sharded_value_and_grad(unravel, cfg, mesh, complete)
 
     score_fn = None
+    min_args = (sdata, n_eff)
     if valid_data is not None:
         svalid, n_eff_v = shard_dataset(valid_data, mesh)
+        min_args = (sdata, n_eff, svalid, n_eff_v)
 
-        def score_fn(flat, aux):
+        def score_fn(flat, aux, _d, _ne, d_va, ne_va):
             rmse, ll = sharded_holdout_metrics(
-                unravel(flat), aux.w, svalid, cfg, mesh, n_eff_v, complete
+                unravel(flat), aux.w, d_va, cfg, mesh, ne_va, complete
             )
             return ll, {"valid_rmse": rmse, "valid_ll": ll}
 
     res = minimize(
         fun,
         flat0,
+        args=min_args,
         history=tc.history,
         max_iter=tc.max_iter,
         opt_tol=tc.opt_tol,
