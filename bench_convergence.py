@@ -1,0 +1,165 @@
+"""North-star wall-clock benchmark (BASELINE.json): synthetic-SDSS VC m=100
+heteroscedastic trained to the float64 port-of-record log-ML, in seconds.
+
+Protocol (BASELINE.md steps 2-3): the "reference log-ML" is what the strict
+float64 solve path converges to on the same seeded problem; the shipped
+(mixed-precision) TPU path must reach it and the wall clock to get there is
+the headline number (target < 60 s on one v5e host, warm compilation cache).
+
+Usage:
+  python bench_convergence.py                # benchmark the shipped config
+  python bench_convergence.py --target       # (re)compute the f64 target
+  python bench_convergence.py --study        # full precision study (3 modes)
+
+Prints one JSON line per run. The committed f64 target lives in
+benchmarks/convergence_target.json.
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+
+import numpy as np
+
+TARGET_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "benchmarks", "convergence_target.json",
+)
+
+N_TRAIN = 70_000
+N_VALID = 10_000
+M = 100
+SEED = 1
+MAX_ITER = 200
+MAX_ATTEMPTS = 50
+
+
+def build_problem():
+    from gpz_tpu.data.photoz import synthetic_sdss
+
+    mags, errs, z = synthetic_sdss(N_TRAIN + N_VALID, filters=5, seed=SEED)
+    psi = errs**2                      # ref demo_photoz.m:54-62: Psi = e^2
+    tr = np.zeros(len(z), bool)
+    va = np.zeros(len(z), bool)
+    tr[:N_TRAIN] = True
+    va[N_TRAIN:] = True
+    return mags, z, psi, tr, va
+
+
+def run_training(solve_mode, solve_dtype="auto"):
+    """Train once; returns (trace dict, seconds, model)."""
+    import gpz_tpu
+
+    X, Y, psi, tr, va = build_problem()
+    model = gpz_tpu.init(X, Y, "VC", M, heteroscedastic=True,
+                         training=tr, psi=psi, seed=SEED)
+    model = dataclasses.replace(
+        model,
+        cfg=dataclasses.replace(
+            model.cfg, solve_mode=solve_mode, solve_dtype=solve_dtype
+        ),
+    )
+    t0 = time.perf_counter()
+    model = gpz_tpu.train(
+        model, X, Y, training=tr, validation=va, psi=psi,
+        max_iter=MAX_ITER, max_attempts=MAX_ATTEMPTS, verbose=False,
+    )
+    seconds = time.perf_counter() - t0
+    return model, seconds
+
+
+def summarize(model, seconds, label):
+    tr = model.fit_info["trace"]
+    n_it = model.fit_info["iterations"]
+    f = np.asarray(tr["f"][: n_it + 1], dtype=np.float64)
+    fev = np.asarray(tr.get("fevals", np.full(n_it + 1, np.nan)))
+    out = {
+        "label": label,
+        "final_nlml": float(f[n_it]),
+        "best_nlml": float(np.nanmin(f)),
+        "best_valid_ll": float(model.best.score),
+        "iterations": int(n_it),
+        "fun_evals": int(model.fit_info["fun_evals"]),
+        "seconds_total": round(seconds, 2),
+        "train_seconds": round(model.fit_info["seconds"], 2),
+    }
+    return out, f, fev
+
+
+def time_to_target(f, fev, total_seconds, total_evals, target, tol):
+    """Seconds until the trace first reaches target (+tol), attributing wall
+    clock by cumulative objective evals (uniform post-compile eval cost)."""
+    hit = np.nonzero(f <= target + tol)[0]
+    if len(hit) == 0:
+        return None
+    i = int(hit[0])
+    if np.all(np.isfinite(fev[: i + 1])):
+        evals_at = float(fev[i])
+    else:
+        evals_at = total_evals * (i / max(len(f) - 1, 1))
+    return total_seconds * evals_at / max(total_evals, 1)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--target", action="store_true",
+                    help="recompute the strict-f64 target nlml")
+    ap.add_argument("--study", action="store_true",
+                    help="run strict/mixed/f32 and compare")
+    args = ap.parse_args()
+
+    if args.target or args.study:
+        model, secs = run_training("strict", "float64")
+        out, f, _ = summarize(model, secs, "strict_f64")
+        payload = {
+            "target_nlml": out["final_nlml"],
+            "best_valid_ll": out["best_valid_ll"],
+            "config": {"n_train": N_TRAIN, "m": M, "seed": SEED,
+                       "max_iter": MAX_ITER, "max_attempts": MAX_ATTEMPTS},
+            "run": out,
+        }
+        os.makedirs(os.path.dirname(TARGET_FILE), exist_ok=True)
+        with open(TARGET_FILE, "w") as fh:
+            json.dump(payload, fh, indent=1)
+        print(json.dumps(out))
+        if not args.study:
+            return
+
+    if not os.path.exists(TARGET_FILE):
+        raise SystemExit("no committed target; run --target first")
+    with open(TARGET_FILE) as fh:
+        target = json.load(fh)
+    tgt = target["target_nlml"]
+    # tolerance: reach within 0.1% of the f64 target's distance from the
+    # init value — effectively "converged to the same log-ML"
+    tol = 1e-3 * abs(tgt)
+
+    runs = [("mixed", "auto", "mixed")]
+    if args.study:
+        runs.append(("mixed", "float32", "f32"))
+
+    for mode, sdt, label in runs:
+        model, secs = run_training(mode, sdt)
+        out, f, fev = summarize(model, secs, label)
+        t_hit = time_to_target(
+            f, fev, out["train_seconds"], out["fun_evals"], tgt, tol
+        )
+        out["target_nlml"] = tgt
+        out["reached_target"] = t_hit is not None
+        out["seconds_to_target"] = None if t_hit is None else round(t_hit, 2)
+        print(json.dumps(out))
+        if label == "mixed":
+            print(json.dumps({
+                "metric": "seconds_to_f64_logML_VC_m100_n70k",
+                "value": out["seconds_to_target"],
+                "unit": "s",
+                "vs_baseline": (
+                    None if t_hit is None else round(60.0 / t_hit, 3)
+                ),
+            }))
+
+
+if __name__ == "__main__":
+    main()

@@ -28,29 +28,43 @@ _JITTERS = (0.0, 1e-12, 1e-10, 1e-8, 1e-6, 1e-4, 1e-2)
 def safe_cholesky(A: jax.Array) -> jax.Array:
     """Cholesky of PSD `A` (batched, [..., n, n]) with escalating jitter.
 
-    Probes jitter levels on a gradient-stopped copy, then factors once at the
-    first level that succeeds so gradients flow through a single clean
-    factorization. If every level fails, NaNs propagate and the optimizer's
-    line search rejects the step (the reference's isLegal/Armijo-fallback role,
-    minFunc.m:963, WolfeLineSearch.m:53-69).
+    Fast path: ONE factorization at zero jitter (the Gram is PD by
+    construction, so this is the overwhelmingly common case — round 1's
+    8-unconditional-probes design cost 43 ms/eval in f64 on TPU). On failure a
+    `lax.while_loop` escalates the jitter on a gradient-stopped copy until the
+    factorization is finite, and one clean differentiable factorization is
+    taken at that level. If every level fails, NaNs propagate and the
+    optimizer's line search rejects the step (the reference's
+    isLegal/Armijo-fallback role, minFunc.m:963, WolfeLineSearch.m:53-69).
     """
     n = A.shape[-1]
     eye = jnp.eye(n, dtype=A.dtype)
     As = lax.stop_gradient(A)
     scale = jnp.mean(jnp.abs(jnp.diagonal(As, axis1=-2, axis2=-1)), axis=-1)
     scale = jnp.maximum(scale, jnp.asarray(1.0, A.dtype))[..., None, None]
-
-    def ok(j):
-        L = jnp.linalg.cholesky(As + j * scale * eye)
-        return jnp.all(jnp.isfinite(L))
-
-    oks = jnp.stack([ok(j) for j in _JITTERS])
     jitters = jnp.asarray(_JITTERS, dtype=A.dtype)
-    # argmax picks the first True; if none succeed the final (largest) jitter
-    # is used and the resulting NaNs are surfaced to the caller.
-    idx = jnp.where(jnp.any(oks), jnp.argmax(oks), len(_JITTERS) - 1)
-    j = lax.stop_gradient(jitters[idx] * scale)
-    return jnp.linalg.cholesky(A + j * eye)
+
+    L0 = jnp.linalg.cholesky(A)
+    ok0 = jnp.all(jnp.isfinite(L0))
+
+    def cond_fn(state):
+        i, ok = state
+        return (~ok) & (i < len(_JITTERS) - 1)
+
+    def body_fn(state):
+        i, _ = state
+        i = i + 1
+        L = jnp.linalg.cholesky(As + jitters[i] * scale * eye)
+        return i, jnp.all(jnp.isfinite(L))
+
+    # zero iterations when the first factorization succeeded; the loop runs
+    # on stop_gradient inputs so reverse-mode AD never sees it.
+    idx, _ = lax.while_loop(cond_fn, body_fn, (jnp.asarray(0), ok0))
+    return lax.cond(
+        idx == 0,
+        lambda: L0,
+        lambda: jnp.linalg.cholesky(A + jitters[idx] * scale * eye),
+    )
 
 
 def chol_logdet(L: jax.Array) -> jax.Array:

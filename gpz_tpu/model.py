@@ -92,6 +92,8 @@ def init(
     psi=None,
     seed: int = 0,
     dtype: str = "float32",
+    solve_dtype: str = "auto",
+    solve_mode: str = "auto",
 ) -> GPzModel:
     """Build and initialize a GPz model (ref GPz/init.m).
 
@@ -113,6 +115,7 @@ def init(
     cfg = ModelConfig(
         m=m, d=d, k=k, method=method,
         heteroscedastic=heteroscedastic, normalize=normalize, dtype=dtype,
+        solve_dtype=solve_dtype, solve_mode=solve_mode,
     )
     if training is None:
         training = np.ones(n, dtype=bool)
@@ -277,11 +280,14 @@ def train(
             max_ls=tc.max_ls,
             score_fn=score_fn,
             max_attempts=tc.max_attempts,
-            init_best_score=jnp.asarray(
+            # continuation (ref train.m:8-11): thread BOTH the previous best
+            # score and the previous best parameters, so a run that never
+            # improves keeps the old best instead of replacing it with x0
+            init_best_score=(
                 model.best.score if math.isfinite(model.best.score)
-                else -jnp.inf,
-                dt,
+                else -jnp.inf
             ),
+            x_best0=ravel_pytree(model.best.params)[0],
         )
 
     def resolve(flat, score) -> ParamSet:

@@ -73,6 +73,59 @@ def _reducer(axis_name: Optional[str]):
     return lambda x: jax.lax.psum(x, axis_name)
 
 
+#: row-block size of the mixed-mode Gram accumulation (env GPZ_GRAM_BLOCK):
+#: per-block partial sums run as f32 MXU matmuls, blocks are summed in
+#: solve_dtype, so the f32 accumulation error stays ~sqrt(block) * eps
+#: regardless of n.
+import os as _os
+
+GRAM_BLOCK = int(_os.environ.get("GPZ_GRAM_BLOCK", "8192"))
+
+
+def _gram_reductions(PHI, ob, Y, sdt, r, mode: str):
+    """The three n-reductions of the objective — Gram A, rhs, sum ob*y^2 —
+    in solve_dtype (ref GPz.m:63-75; psum boundary of the n-sharded path).
+
+    strict: accumulate the whole contraction in solve_dtype. Exact, native on
+    CPU; on TPU the f64 contraction is emulated over all n (61 ms fwd /
+    129 ms grad at n=100k, m=100 — the round-1 perf failure).
+
+    mixed: per-block f32 partials on the MXU (precision=HIGHEST so inputs are
+    not rounded to bf16), cross-block accumulation in solve_dtype (1.9 ms fwd
+    / 1.6 ms grad at the same shape). Entry-level error ~sqrt(B)*eps_f32,
+    independent of n.
+    """
+    if mode == "strict":
+        A = r(jnp.einsum("nm,nk,nj->kmj", PHI, ob, PHI,
+                         preferred_element_type=sdt))
+        rhs = r(jnp.einsum("nm,nk->mk", PHI, ob * Y,
+                           preferred_element_type=sdt))
+        obyy = r(jnp.sum(ob * Y * Y, axis=0, dtype=sdt))
+        return A, rhs, obyy
+
+    n, m = PHI.shape
+    k = ob.shape[1]
+    oy = ob * Y
+    B = min(GRAM_BLOCK, n)
+    nb = -(-n // B)
+    npad = nb * B
+    if npad != n:
+        pad = ((0, npad - n), (0, 0))
+        PHI, ob, oy, Y = (jnp.pad(x, pad) for x in (PHI, ob, oy, Y))
+    hp = jax.lax.Precision.HIGHEST
+    Pb = PHI.reshape(nb, B, m)
+    obb = ob.reshape(nb, B, k)
+    oyb = oy.reshape(nb, B, k)
+    Yb = Y.reshape(nb, B, k)
+    W = Pb[:, :, None, :] * obb[:, :, :, None]           # (nb, B, k, m)
+    A = jnp.einsum("bnkm,bnj->bkmj", W, Pb, precision=hp)
+    rhs = jnp.einsum("bnm,bnk->bmk", Pb, oyb, precision=hp)
+    obyy = jnp.einsum("bnk,bnk->bk", oyb, Yb, precision=hp)
+    return (r(jnp.sum(A.astype(sdt), axis=0)),
+            r(jnp.sum(rhs.astype(sdt), axis=0)),
+            r(jnp.sum(obyy.astype(sdt), axis=0)))
+
+
 def _gram_terms(
     params: GPzParams,
     cfg: ModelConfig,
@@ -86,29 +139,37 @@ def _gram_terms(
     and rhs are psum-reduced; the m x m solve is replicated on every device.
     """
     r = _reducer(axis_name)
-    sdt = jnp.dtype(cfg.solve_dtype)
+    sdt = jnp.dtype(cfg.resolved_solve_dtype())
+    mode = cfg.resolved_solve_mode()
     PHI, _, ln_beta = design_matrix(params, cfg, data.X, data.mask, data.psi, complete)
     beta = jnp.exp(-ln_beta)                             # (n, k)
     ob = data.omega[:, None] * beta                      # (n, k)
     alpha = jnp.exp(params.ln_alpha.astype(sdt))         # (m, k)
 
-    # From here on the REDUCED quantities live in solve_dtype (f64 by
-    # default): the Gram is a sum of ~n rank-1 terms whose f32 rounding
-    # (~sqrt(n) eps) would cap the resolvable objective decrease and stall
-    # the Wolfe search. The big (n, m) tensors stay f32 — the dots upcast on
-    # the MXU via preferred_element_type, which measures ~5x cheaper than
-    # materializing f64 copies of PHI.
     # SIGMA_k = PHI^T diag(ob_k) PHI + diag(alpha_k)   (ref GPz.m:63-65)
-    A = r(jnp.einsum("nm,nk,nj->kmj", PHI, ob, PHI,
-                     preferred_element_type=sdt))
+    A, rhs, obyy = _gram_reductions(PHI, ob, data.Y, sdt, r, mode)
     SIGMA = A + jax.vmap(jnp.diag)(alpha.T)              # (k, m, m)
-    L = safe_cholesky(SIGMA)
-    logdet = chol_logdet(L)                              # (k,)
 
-    rhs = r(jnp.einsum("nm,nk->mk", PHI, ob * data.Y,
-                       preferred_element_type=sdt))      # (m, k)
-    w = chol_solve(L, rhs.T[..., None])[..., 0].T        # (m, k)
-    return PHI, ln_beta, beta, ob, alpha, L, logdet, w, rhs
+    if mode == "mixed" and SIGMA.dtype != PHI.dtype:
+        # factor in the compute dtype (f32 Cholesky: 1.3 ms vs 6.5 ms emulated
+        # f64 on TPU at (1,100,100)), then one iterative-refinement step of
+        # the posterior solve against the solve_dtype SIGMA — the residual
+        # matmul is an (m, m) @ (m, k), negligible even emulated.
+        cdt = PHI.dtype
+        L = safe_cholesky(SIGMA.astype(cdt))
+        logdet = 2.0 * jnp.sum(
+            jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)).astype(sdt), axis=-1
+        )
+        w0 = chol_solve(L, rhs.astype(cdt).T[..., None])[..., 0].T
+        w0 = w0.astype(sdt)                              # (m, k)
+        resid = rhs - jnp.einsum("kmj,jk->mk", SIGMA, w0)
+        dw = chol_solve(L, resid.astype(cdt).T[..., None])[..., 0].T
+        w = w0 + dw.astype(sdt)
+    else:
+        L = safe_cholesky(SIGMA)
+        logdet = chol_logdet(L)                          # (k,)
+        w = chol_solve(L, rhs.T[..., None])[..., 0].T    # (m, k)
+    return PHI, ln_beta, beta, ob, alpha, L, logdet, w, rhs, obyy
 
 
 def nlog_ml(
@@ -129,28 +190,29 @@ def nlog_ml(
     analytic gradient of ref GPz.m:89-234 falls out of AD (including through
     the psums, whose transpose XLA handles).
     """
-    sdt = jnp.dtype(cfg.solve_dtype)
+    sdt = jnp.dtype(cfg.resolved_solve_dtype())
     if n_eff is None:
         n_eff = jnp.asarray(data.n, sdt)
     else:
         n_eff = n_eff.astype(sdt)
     r = _reducer(axis_name)
     k = cfg.k
-    PHI, ln_beta, beta, ob, alpha, L, logdet, w, rhs = _gram_terms(
+    PHI, ln_beta, beta, ob, alpha, L, logdet, w, rhs, obyy = _gram_terms(
         params, cfg, data, complete, axis_name
     )
     # Every scalar evidence term accumulates in solve_dtype (f32 sums over n
     # can't resolve the per-iteration objective decreases the optimizer's
     # progress tests compare against). The data-fit quadratic uses the exact
     # normal-equations identity: with A = SIGMA - diag(alpha) and
-    # SIGMA w = rhs (w is the Cholesky solve),
+    # SIGMA w = rhs (w is the solve, iteratively refined in mixed mode),
     #   sum_i ob (phi_i'w - y_i)^2 = w'Aw - 2 w'rhs + sum_i ob y^2
     #                              = sum_i ob y^2 - w'rhs - sum alpha w^2,
-    # so the whole term is built from the already-f64 (m-sized) reductions
-    # plus one f64-accumulated n-scalar — no (n, k) f64 tensor ever exists.
-    # The identity holds for every theta (w is theta's solve), so AD through
-    # this form gives the same gradient as the explicit residual form.
-    obyy = r(jnp.sum(ob * data.Y * data.Y, axis=0, dtype=sdt))   # (k,)
+    # so the whole term is built from the already-solve_dtype (m-sized)
+    # reductions plus the blockwise-accumulated n-scalar obyy — no (n, k)
+    # f64 tensor ever exists. The identity holds for every theta (w is
+    # theta's solve; the solve error enters the value only at second order
+    # since w* is the quadratic's stationary point), so AD through this form
+    # gives the gradient of the computed function exactly.
     wrhs = jnp.sum(w * rhs, axis=0)                              # (k,)
     aw2 = jnp.sum(alpha * w**2, axis=0)                          # (k,)
     quad = obyy - wrhs - aw2
@@ -205,7 +267,7 @@ def posterior(
 ) -> Posterior:
     """Posterior weights + full Gram inverse (the reference's "weights-only"
     nargout trick, GPz.m:84-87, made an explicit function per SURVEY §3.4)."""
-    _, _, _, _, _, L, logdet, w, _ = _gram_terms(
+    _, _, _, _, _, L, logdet, w, _, _ = _gram_terms(
         params, cfg, data, complete, axis_name
     )
     m = cfg.m
@@ -233,7 +295,7 @@ def holdout_metrics(
     training posterior's w; nu is computed there but unused by the metrics).
     Returns (rmse, ll).
     """
-    sdt = jnp.dtype(cfg.solve_dtype)
+    sdt = jnp.dtype(cfg.resolved_solve_dtype())
     if n_eff is None:
         n_eff = jnp.asarray(data.n, sdt)
     else:
@@ -241,14 +303,18 @@ def holdout_metrics(
     r = _reducer(axis_name)
     PHI, _, ln_beta = design_matrix(params, cfg, data.X, data.mask, data.psi, complete)
     beta = jnp.exp(-ln_beta)
-    delta = PHI.astype(sdt) @ w.astype(sdt) - data.Y.astype(sdt)
+    # the residual stays in the compute dtype (an f64 (n, m) @ (m, k) here
+    # would emulate a full f64 matmul on TPU every scoring iteration); only
+    # the scalar accumulations happen in solve_dtype.
+    delta = PHI @ w.astype(PHI.dtype) - data.Y           # (n, k)
     k = cfg.k
-    rmse = jnp.sqrt(r(jnp.sum(data.omega[:, None] * delta**2)) / (n_eff * k))
+    rmse = jnp.sqrt(
+        r(jnp.sum(data.omega[:, None] * delta**2, dtype=sdt)) / (n_eff * k)
+    )
     ll = (
         r(jnp.sum(
-            data.omega[:, None].astype(sdt)
-            * (-0.5 * beta.astype(sdt) * delta**2
-               - 0.5 * ln_beta.astype(sdt)),
+            data.omega[:, None] * (-0.5 * beta * delta**2 - 0.5 * ln_beta),
+            dtype=sdt,
         ))
         / (n_eff * k)
         - 0.5 * _LN2PI

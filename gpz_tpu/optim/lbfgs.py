@@ -401,6 +401,7 @@ def minimize(
     score_fn: Optional[Callable] = None,
     max_attempts: Optional[int] = None,
     init_best_score: Optional[jax.Array] = None,
+    x_best0: Optional[jax.Array] = None,
     record_len: Optional[int] = None,
 ) -> MinimizeResult:
     """Minimize fun(x) -> (f, g, aux) by L-BFGS with strong-Wolfe search.
@@ -432,35 +433,53 @@ def minimize(
     else:
         score0, extras0 = score_fn(x0, aux0)
     if init_best_score is None:
-        init_best_score = jnp.asarray(-jnp.inf, dtype)
+        init_best_score = jnp.asarray(-jnp.inf, score0.dtype)
+    init_best_score = jnp.asarray(init_best_score, score0.dtype)
+    # continuation semantics (ref train.m:8-11 + callBack.m:26-34): when the
+    # caller provides the previous best score, it provides the matching
+    # previous best PARAMETERS too — otherwise a run that never beats the old
+    # score would return x0 as "best" while keeping the old (better) score.
+    if x_best0 is None:
+        x_best0 = x0
 
     no_attempt_limit = max_attempts is None
     attempts_cap = jnp.asarray(
         2**31 - 1 if no_attempt_limit else max_attempts, jnp.int32
     )
 
+    # trace arrays live in the dtype of the quantity they record (f/score are
+    # solve_dtype scalars; a parameter-dtype (f32) buffer would silently
+    # downcast-scatter — a FutureWarning today, an error in future JAX)
+    fdt = f0.dtype
+
     trace0 = {
-        "f": jnp.full((record_len,), jnp.nan, dtype),
+        "f": jnp.full((record_len,), jnp.nan, fdt),
         "opt_cond": jnp.full((record_len,), jnp.nan, dtype),
         "step": jnp.full((record_len,), jnp.nan, dtype),
-        "score": jnp.full((record_len,), jnp.nan, dtype),
+        "score": jnp.full((record_len,), jnp.nan, score0.dtype),
+        "fevals": jnp.full((record_len,), -1, jnp.int32),
         "extras": jax.tree.map(
-            lambda e: jnp.full((record_len,), jnp.nan, dtype), extras0
+            lambda e: jnp.full((record_len,), jnp.nan, jnp.asarray(e).dtype),
+            extras0,
         ),
     }
 
-    def record(trace, i, f, opt_cond, step, score, extras):
+    def record(trace, i, f, opt_cond, step, score, fevals, extras):
+        def put(arr, v):
+            return arr.at[i].set(jnp.asarray(v, arr.dtype))
+
         out = dict(trace)
-        out["f"] = trace["f"].at[i].set(f)
-        out["opt_cond"] = trace["opt_cond"].at[i].set(opt_cond)
-        out["step"] = trace["step"].at[i].set(step)
-        out["score"] = trace["score"].at[i].set(score)
-        out["extras"] = jax.tree.map(
-            lambda t, e: t.at[i].set(e), trace["extras"], extras
-        )
+        out["f"] = put(trace["f"], f)
+        out["opt_cond"] = put(trace["opt_cond"], opt_cond)
+        out["step"] = put(trace["step"], step)
+        out["score"] = put(trace["score"], score)
+        out["fevals"] = put(trace["fevals"], fevals)
+        out["extras"] = jax.tree.map(put, trace["extras"], extras)
         return out
 
-    trace0 = record(trace0, 0, f0, jnp.max(jnp.abs(g0)), 0.0, score0, extras0)
+    trace0 = record(
+        trace0, 0, f0, jnp.max(jnp.abs(g0)), 0.0, score0, 1, extras0
+    )
 
     # best tracking starts from the provided floor (model.best.LL, train.m:8-9)
     improved0 = score0 >= init_best_score
@@ -477,7 +496,7 @@ def minimize(
         it=jnp.zeros((), jnp.int32),
         fevals=jnp.ones((), jnp.int32),
         status=jnp.asarray(STATUS_RUNNING, jnp.int32),
-        best_x=x0,
+        best_x=jnp.where(improved0, x0, x_best0),
         best_score=jnp.where(improved0, score0, init_best_score),
         attempts=jnp.zeros((), jnp.int32),
         trace=trace0,
@@ -550,7 +569,9 @@ def minimize(
         status = jnp.where(it >= max_iter, jnp.where(
             status == STATUS_RUNNING, STATUS_MAX_ITER, status), status)
 
-        trace = record(s.trace, it, f_new, opt_cond, t, score, extras)
+        trace = record(
+            s.trace, it, f_new, opt_cond, t, score, s.fevals + ls_evals, extras
+        )
 
         return _OptState(
             x=x_new,

@@ -167,3 +167,39 @@ def test_holdout_metrics_finite(rng):
     assert np.isfinite(float(rmse)) and np.isfinite(float(ll))
     np.testing.assert_allclose(float(rmse), float(aux.train_rmse), rtol=1e-10)
     np.testing.assert_allclose(float(ll), float(aux.train_ll), rtol=1e-10)
+
+
+@pytest.mark.parametrize("method,with_psi,with_missing,het", CASES)
+def test_mixed_mode_matches_strict(rng, method, with_psi, with_missing, het):
+    """The TPU-default mixed solve mode (blockwise f32 Gram accumulation +
+    f32 Cholesky with one f64 refinement of the posterior solve) must agree
+    with the strict f64 path to f32-accumulation accuracy (~1e-6 value,
+    looser on gradients). Exercised on CPU by forcing solve_mode."""
+    import dataclasses as _dc
+
+    cfg, params, data, *_ = build(
+        rng, method, with_psi, with_missing, het, n=120, m=6
+    )
+    # mixed mode accumulates f32 partials: feed it the f32 compute dtype
+    cfg32 = _dc.replace(cfg, dtype="float32")
+    params32 = jax.tree.map(lambda x: x.astype(jnp.float32), params)
+    data32 = jax.tree.map(
+        lambda x: x.astype(jnp.float32) if x.dtype == jnp.float64 else x, data
+    )
+    complete = not with_missing
+
+    cfg_strict = _dc.replace(cfg32, solve_mode="strict")
+    cfg_mixed = _dc.replace(cfg32, solve_mode="mixed")
+
+    f_s, _ = nlog_ml(params32, data32, cfg_strict, complete=complete)
+    f_m, aux_m = nlog_ml(params32, data32, cfg_mixed, complete=complete)
+    assert float(f_s) == pytest.approx(float(f_m), rel=2e-6)
+    assert aux_m.w.dtype == jnp.float64
+
+    g_s = jax.grad(lambda p: nlog_ml(p, data32, cfg_strict, complete=complete)[0])(params32)
+    g_m = jax.grad(lambda p: nlog_ml(p, data32, cfg_mixed, complete=complete)[0])(params32)
+    for name in ("P", "gamma", "ln_alpha", "b"):
+        a = np.ravel(getattr(g_s, name))
+        b = np.ravel(getattr(g_m, name))
+        denom = max(np.linalg.norm(a), 1e-8)
+        assert np.linalg.norm(a - b) / denom < 5e-4, name
