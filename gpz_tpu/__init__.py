@@ -50,15 +50,44 @@ if _os.environ.get("GPZ_NO_CACHE") != "1":  # pragma: no branch
         pass
 
 # x64 must be available for the solve_dtype=float64 path (ModelConfig): the
-# objective VALUE is computed in f64 from the Gram reduction onward so the
+# objective VALUE is accumulated in f64 from the Gram reduction onward so the
 # Wolfe line search and progress tests can resolve late-stage decreases
 # (f32-only objectives stall the optimizer within a handful of iterations).
 # Tensor compute (design matrix, Pallas kernels, prediction) stays f32.
-# Opt out with GPZ_NO_X64=1 (solve_dtype then degrades to f32 silently).
+#
+# jax_enable_x64 is process-global, so flipping it here changes default
+# literal dtypes (i64 ints, f64 floats) for ALL JAX code in the process —
+# potentially surprising for embedding applications. There is no scoped
+# alternative in current JAX (jax.experimental.enable_x64 was removed in
+# 0.9), so the policy is: flip only when the flag is actually False, emit a
+# one-time filterable warning when we do, and offer two opt-outs:
+#   * set GPZ_NO_X64=1 before import (solve_dtype degrades to float32;
+#     expect earlier optimizer stalls on large n), or
+#   * pre-set jax.config.update("jax_enable_x64", ...) yourself before
+#     importing gpz_tpu — a pre-set value (either way) is never overridden.
+
+
+class GPzX64Warning(UserWarning):
+    """Warns that importing gpz_tpu enabled jax_enable_x64 process-wide."""
+
+
 if _os.environ.get("GPZ_NO_X64") != "1":  # pragma: no branch
     import jax as _jax2
 
-    _jax2.config.update("jax_enable_x64", True)
+    if (not _jax2.config.jax_enable_x64
+            and _os.environ.get("JAX_ENABLE_X64") is None):
+        import warnings as _warnings
+
+        _warnings.warn(
+            "gpz_tpu enabled jax_enable_x64 process-wide (needed for the "
+            "float64 solve path; see ModelConfig.solve_dtype). This changes "
+            "default JAX literal dtypes to 64-bit for the whole process. "
+            "Opt out with GPZ_NO_X64=1, or silence this by setting "
+            "jax.config.update('jax_enable_x64', True) before import.",
+            GPzX64Warning,
+            stacklevel=2,
+        )
+        _jax2.config.update("jax_enable_x64", True)
 
 from gpz_tpu.config import ModelConfig, TrainConfig, PredictConfig
 from gpz_tpu.params import GPzParams

@@ -81,6 +81,101 @@ def _da_update(s: _DAState, accept_prob, target):
     return _DAState(log_eps, log_eps_avg, h_avg, s.mu, count)
 
 
+def _pool_scalar(a, axis_name):
+    """Mean of a per-chain statistic over ALL chains: local chain axis +
+    (under shard_map) a pmean collective over the sharded chain axis. This is
+    the psum boundary of collective warmup adaptation (BASELINE.json north
+    star: 'collective step-size adaptation via psum of acceptance stats')."""
+    out = jnp.mean(a, axis=0)
+    if axis_name is not None:
+        out = lax.pmean(out, axis_name)
+    return out
+
+
+def collective_mcmc(step_one, logp_fn, x_init, key, *, num_warmup,
+                    num_samples, target_accept, eps0, axis_name=None):
+    """Chains-coupled MCMC: one SHARED dual-averaging step size and one
+    SHARED diagonal mass matrix, adapted from acceptance/variance statistics
+    pooled across every chain (cross-device via `axis_name` collectives).
+
+    step_one(key, x, logp, eps, inv_mass) -> (x, logp, accept_stat, aux)
+    where aux is a (possibly empty) tuple of per-step scalars.
+
+    Returns (samples (C, S, p), accept_rate (C,), eps_final (), aux_stats)
+    with aux_stats a tuple of (C,)-shaped per-chain means of each aux scalar.
+    """
+    C, p = x_init.shape
+    dtype = x_init.dtype
+
+    def step_v(key, x, logp, eps, inv_mass):
+        subs = jax.random.split(key, C)
+        return jax.vmap(
+            lambda k, xx, ll: step_one(k, xx, ll, eps, inv_mass)
+        )(subs, x, logp)
+
+    x = x_init
+    logp = jax.vmap(logp_fn)(x)
+    da = _da_init(jnp.asarray(eps0, dtype))
+    inv_mass = jnp.ones((p,), dtype)
+    half = num_warmup // 2
+
+    # --- window 1: shared step size, identity mass; per-chain Welford ---
+    def warm1(i, carry):
+        key, x, logp, da, mean, m2 = carry
+        key, sub = jax.random.split(key)
+        eps = jnp.exp(da.log_eps)
+        x, logp, ap, _ = step_v(sub, x, logp, eps, inv_mass)
+        da = _da_update(da, _pool_scalar(ap, axis_name), target_accept)
+        cnt = i + 1.0
+        d0 = x - mean
+        mean = mean + d0 / cnt
+        m2 = m2 + d0 * (x - mean)
+        return key, x, logp, da, mean, m2
+
+    key, x, logp, da, mean, m2 = lax.fori_loop(
+        0, half, warm1,
+        (key, x, logp, da, jnp.zeros_like(x), jnp.zeros_like(x)),
+    )
+    # pooled variance across chains AND iterations (law of total variance)
+    var_within = _pool_scalar(m2 / jnp.maximum(half - 1.0, 1.0), axis_name)
+    mean_all = _pool_scalar(mean, axis_name)
+    var_between = _pool_scalar((mean - mean_all[None, :]) ** 2, axis_name)
+    var = var_within + var_between
+    w = half / (half + 5.0)
+    inv_mass2 = jnp.maximum(w * var + (1 - w) * 1e-3, 1e-10)
+
+    # --- window 2: re-adapt the shared step size under the shared metric ---
+    da2 = _da_init(jnp.exp(da.log_eps_avg))
+
+    def warm2(i, carry):
+        key, x, logp, da = carry
+        key, sub = jax.random.split(key)
+        eps = jnp.exp(da.log_eps)
+        x, logp, ap, _ = step_v(sub, x, logp, eps, inv_mass2)
+        da = _da_update(da, _pool_scalar(ap, axis_name), target_accept)
+        return key, x, logp, da
+
+    key, x, logp, da2 = lax.fori_loop(
+        0, num_warmup - half, warm2, (key, x, logp, da2)
+    )
+    eps_final = jnp.exp(da2.log_eps_avg)
+
+    # --- sampling ---
+    def draw(carry, _):
+        key, x, logp = carry
+        key, sub = jax.random.split(key)
+        x, logp, ap, aux = step_v(sub, x, logp, eps_final, inv_mass2)
+        return (key, x, logp), (x, ap, aux)
+
+    (_, _, _), (samples, aps, auxs) = lax.scan(
+        draw, (key, x, logp), None, length=num_samples
+    )
+    samples = jnp.swapaxes(samples, 0, 1)            # (C, S, p)
+    accept = jnp.mean(aps, axis=0)                   # (C,)
+    aux_stats = jax.tree.map(lambda a: jnp.mean(a, axis=0), auxs)
+    return samples, accept, eps_final, aux_stats
+
+
 def _leapfrog(grad_fn, x, p, eps, inv_mass, n_steps):
     def body(_, carry):
         x, p = carry
@@ -115,6 +210,7 @@ def _hmc_step(logp_fn, grad_fn, key, x, logp, eps, inv_mass, n_steps):
     jax.jit,
     static_argnames=(
         "logp_fn", "num_warmup", "num_samples", "num_chains", "num_leapfrog",
+        "collective_adapt", "axis_name",
     ),
 )
 def hmc_sample(
@@ -129,12 +225,19 @@ def hmc_sample(
     target_accept: float = 0.8,
     init_jitter: float = 0.01,
     eps0: float = 0.01,
+    collective_adapt: bool = False,
+    axis_name=None,
 ):
     """Run `num_chains` HMC chains from jittered copies of x0.
 
     Returns (samples (chains, num_samples, p), info dict). Place the leading
     chain axis on the mesh `restart` axis (jax.device_put with a NamedSharding
     before/after, or just let jit shard the vmap) to parallelize chains.
+
+    With `collective_adapt=True` all chains co-adapt ONE step size and ONE
+    diagonal mass matrix from acceptance/variance statistics pooled across
+    the chains; under shard_map with chains sharded on a mesh axis, pass that
+    axis as `axis_name` so the pooling runs as a cross-device pmean.
     """
     p = x0.shape[0]
     grad_fn = jax.grad(logp_fn)
@@ -144,6 +247,20 @@ def hmc_sample(
     x_init = x0[None, :] + init_jitter * jax.random.normal(
         keys[-1], (num_chains, p), x0.dtype
     )
+
+    if collective_adapt:
+        def step_one(k, x, logp, eps, inv_mass):
+            x, logp, ap = _hmc_step(
+                logp_fn, grad_fn, k, x, logp, eps, inv_mass, num_leapfrog
+            )
+            return x, logp, ap, ()
+
+        samples, accept, eps_final, _ = collective_mcmc(
+            step_one, logp_fn, x_init, keys[-1],
+            num_warmup=num_warmup, num_samples=num_samples,
+            target_accept=target_accept, eps0=eps0, axis_name=axis_name,
+        )
+        return samples, {"accept_rate": accept, "step_size": eps_final}
 
     half = num_warmup // 2
 

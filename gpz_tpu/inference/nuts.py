@@ -112,8 +112,13 @@ def _build_subtree(logp_fn, grad_fn, state: _SubtreeState, depth, eps,
         )
 
     def guarded(i, s):
-        return lax.cond(s.turning | s.diverged, lambda s: s,
-                        lambda s: body(i, s), s)
+        # explicit select, not lax.cond: under the chain vmap cond lowers to
+        # a both-branches select anyway, and the select keeps the
+        # varying-manual-axes types consistent when the chains are sharded
+        # over a mesh axis under shard_map (collective adaptation)
+        s2 = body(i, s)
+        stop = s.turning | s.diverged
+        return jax.tree.map(lambda a, b: jnp.where(stop, a, b), s, s2)
 
     return lax.fori_loop(0, n_leaf, guarded, state)
 
@@ -158,9 +163,6 @@ def _nuts_step(logp_fn, grad_fn, key, x0, logp0, eps, inv_mass, max_depth):
     zeros_ckpt = jnp.zeros((max_depth + 1, dim), x0.dtype)
 
     def doubling(depth, c: Carry):
-        def skip(c):
-            return c
-
         def extend(c: Carry):
             key, kd, ks = jax.random.split(c.key, 3)
             go_right = jax.random.bernoulli(kd)
@@ -223,7 +225,9 @@ def _nuts_step(logp_fn, grad_fn, key, x0, logp0, eps, inv_mass, max_depth):
                 diverged=c.diverged | sub.diverged,
             )
 
-        return lax.cond(c.done, skip, extend, c)
+        # select instead of lax.cond — see guarded() in _build_subtree
+        c2 = extend(c)
+        return jax.tree.map(lambda a, b: jnp.where(c.done, a, b), c, c2)
 
     for depth in range(max_depth):
         carry = doubling(depth, carry)
@@ -240,6 +244,7 @@ def _nuts_step(logp_fn, grad_fn, key, x0, logp0, eps, inv_mass, max_depth):
     jax.jit,
     static_argnames=(
         "logp_fn", "num_warmup", "num_samples", "num_chains", "max_depth",
+        "collective_adapt", "axis_name",
     ),
 )
 def nuts_sample(
@@ -254,8 +259,15 @@ def nuts_sample(
     target_accept: float = 0.8,
     init_jitter: float = 0.01,
     eps0: float = 0.01,
+    collective_adapt: bool = False,
+    axis_name=None,
 ):
-    """Run `num_chains` NUTS chains; returns (samples (C, S, p), info)."""
+    """Run `num_chains` NUTS chains; returns (samples (C, S, p), info).
+
+    `collective_adapt` / `axis_name`: co-adapt ONE shared step size and mass
+    matrix from chain-pooled statistics (cross-device pmean over `axis_name`
+    when chains are sharded under shard_map) — see mcmc.collective_mcmc.
+    """
     p_dim = x0.shape[0]
     grad_fn = jax.grad(logp_fn)
 
@@ -264,6 +276,27 @@ def nuts_sample(
         keys[-1], (num_chains, p_dim), x0.dtype
     )
     half = num_warmup // 2
+
+    if collective_adapt:
+        from gpz_tpu.inference.mcmc import collective_mcmc
+
+        def step_one(k, x, logp, eps, inv_mass):
+            x, logp, acc, depth, div = _nuts_step(
+                logp_fn, grad_fn, k, x, logp, eps, inv_mass, max_depth
+            )
+            return x, logp, acc, (depth.astype(x.dtype), div)
+
+        samples, accept, eps_final, (mean_depth, divs) = collective_mcmc(
+            step_one, logp_fn, x_init, keys[-1],
+            num_warmup=num_warmup, num_samples=num_samples,
+            target_accept=target_accept, eps0=eps0, axis_name=axis_name,
+        )
+        return samples, {
+            "accept_rate": accept,
+            "step_size": eps_final,
+            "mean_tree_depth": mean_depth,
+            "divergences": jnp.sum(divs, axis=-1) if divs.ndim else divs,
+        }
 
     def one_chain(ckey, x):
         logp = logp_fn(x)

@@ -435,13 +435,14 @@ def predict(
             out = tuple(o[: len(idx)] for o in out)
         return out
 
-    # the moment-matching path materializes (B, m, m, d[, d]) pair tensors
-    # (plus factorization temporaries); bound the per-batch footprint
-    # independently of the caller's batch_size
-    pair_budget = int(1e7)  # elements
+    # the moment-matching pass tiles itself over basis-index blocks against
+    # predict.PAIR_BUDGET, so peak memory is bounded for any row batch; the
+    # host batch only needs to leave room for a useful block size (B >= ~8)
+    # and for the O(n m d_cost) mixture tensors (X_hat/Psi_hat) of the
+    # missing-data path
     d_cost = d * d if cfg.full_cov else d
     moments_batch = max(
-        16, min(batch_size, pair_budget // (cfg.m * cfg.m * d_cost))
+        16, min(batch_size, predict_mod.PAIR_BUDGET // (8 * cfg.m * d_cost))
     )
 
     # group rows by missingness pattern (ref predict.m:45-56)

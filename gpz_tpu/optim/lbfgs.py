@@ -112,10 +112,15 @@ def wolfe_line_search(fun, x, f0, g0, d, t0, c1, c2, max_ls, prog_tol, aux0):
 
     def eval_at(t):
         f, g, aux = fun(x + t.astype(x.dtype) * d)
-        # non-finite trial values read as +inf: the search then backtracks,
-        # playing the role of minFunc's Armijo fallback (WolfeLineSearch.m:53)
-        bad = ~jnp.isfinite(f)
-        return jnp.where(bad, jnp.inf, f), g, aux
+        # non-finite trial f OR g reads as +inf with a zeroed gradient: the
+        # search then backtracks, playing the role of minFunc's isLegal +
+        # Armijo fallback (WolfeLineSearch.m:53 checks BOTH f and g). Letting
+        # a non-finite g escape with a finite f poisons gtd, the curvature
+        # pairs, and ultimately the iterate itself (0 * inf = NaN in x + t d).
+        bad = ~jnp.isfinite(f) | ~jnp.all(jnp.isfinite(g))
+        f = jnp.where(bad, jnp.inf, f)
+        g = jnp.where(bad, jnp.zeros_like(g), g)
+        return f, g, aux
 
     f_t0, g_t0, aux_t0 = eval_at(t0)
 

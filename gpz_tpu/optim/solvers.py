@@ -73,7 +73,16 @@ def armijo_backtrack(fun, x, f0, g0, d, t0, c1, max_ls, prog_tol):
 def conj_grad(hv, b, tol, max_iter, precond=None):
     """Preconditioned linear CG for H d = b given only Hessian-vector
     products, stopping early on negative curvature
-    (ref minFunc/conjGrad.m). Returns (d, iters)."""
+    (ref minFunc/conjGrad.m). Returns (d, iters) where `iters` counts the
+    Hessian-vector products actually performed (so callers can account
+    evals exactly).
+
+    On a first-iteration negative-curvature exit the negative residual
+    -r = b is returned; in the Newton-direction use (b == -g, as newton0
+    calls it) that is the steepest-descent direction, matching the
+    reference's fallback (conjGrad.m). Generic callers get b itself —
+    an arbitrary but finite direction, not a solve.
+    """
     x = np.zeros_like(b)
     r = -b.astype(np.float64)  # residual of Hx - b at x = 0
     y = precond(r) if precond is not None else r
@@ -83,11 +92,10 @@ def conj_grad(hv, b, tol, max_iter, precond=None):
         Hp = hv(p)
         pHp = float(p @ Hp)
         if pHp <= 1e-16 * float(p @ p):
-            # negative/zero curvature: return progress so far, or the
-            # steepest-descent direction on the first iteration
+            # negative/zero curvature: it + 1 Hv products have been spent
             if it == 0:
-                return b.copy(), 1
-            return x, it
+                return -r, 1
+            return x, it + 1
         alpha = ry / pHp
         x = x + alpha * p
         r = r + alpha * Hp
@@ -320,8 +328,10 @@ def minimize_any(
         if method == "csd" and not use_armijo:
             t0 = 1.0
         if use_armijo:
+            # the first-iteration min(1, 1/sum|g|) scaling applies to every
+            # method in the reference (minFunc.m:983-1023), Armijo included
             t, f_new, g_new, ls_evals, failed = armijo_backtrack(
-                fg, x, f, g, d, 1.0, c1, max_ls, prog_tol)
+                fg, x, f, g, d, t0, c1, max_ls, prog_tol)
         else:
             t, f_new, g_new, ls_evals, failed = _wolfe(
                 fg, x, f, g, d, t0, c1, c2, max_ls, prog_tol)

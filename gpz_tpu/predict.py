@@ -22,6 +22,8 @@ GPz/predict.m:45-56 and dispatches each group here.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -42,6 +44,33 @@ def _v_or_zero(params: GPzParams, cfg: ModelConfig):
     if params.v is not None:
         return params.v
     return jnp.zeros((cfg.m, cfg.k), dtype=params.P.dtype)
+
+
+#: element budget for the pair-pass intermediates (env GPZ_PAIR_BUDGET).
+#: The O(n m^2) moment-matching pass is tiled over blocks of basis index i so
+#: the peak live intermediate is (n, B, m, d_cost) elements with
+#: B ~= budget / (n m d_cost) — prediction at m=1000 never materializes the
+#: full (n, m, m, ...) pair tensor (VERDICT r1 items 6-7; the reference's
+#: equivalent loops are predictDiag.m:93-121 / predictCov.m:95-129,180-218).
+PAIR_BUDGET = int(os.environ.get("GPZ_PAIR_BUDGET", str(3 * 10**7)))
+
+
+def _block_size(n: int, m: int, d_cost: int) -> int:
+    return max(1, min(m, PAIR_BUDGET // max(1, n * m * d_cost)))
+
+
+def _blocked_sum(body, nb: int, B: int, init):
+    """sum_{i-blocks} body(i0) via lax.scan (one traced block program)."""
+    if nb == 1:
+        return body(jnp.asarray(0, jnp.int32))
+
+    def step(acc, i0):
+        out = body(i0)
+        return jax.tree.map(jnp.add, acc, out), None
+
+    offsets = (jnp.arange(nb) * B).astype(jnp.int32)
+    acc, _ = jax.lax.scan(step, init, offsets)
+    return acc
 
 
 def predict_clean(params, post, cfg: ModelConfig, X, mask, psi=None,
@@ -117,46 +146,80 @@ def predict_moments_diag(params, post, priors, cfg: ModelConfig, X,
     mu = PHI @ w                                           # (n, k)
     ElnS = PHI @ v
 
-    # --- pairwise moment matching (predictDiag.m:93-121) ---
-    iCij = iS[:, None, :] + iS[None, :, :]                 # (m, m, d)
-    Cij = 1.0 / iCij
-    cij = (P[:, None, :] * iS[:, None, :] + P[None, :, :] * iS[None, :, :]) * Cij
-    Sij = Sigma[:, None, :] + Sigma[None, :, :]
-    dP = P[:, None, :] - P[None, :, :]
-    lnZij = (
-        lnz[:, None]
-        + lnz[None, :]
-        - 0.5 * jnp.sum(dP**2 / Sij + jnp.log(Sij), axis=-1)
-    )                                                      # (m, m), all dims
+    # --- pairwise moment matching (predictDiag.m:93-121), tiled over blocks
+    # of the first basis index i so the peak intermediate is (n, B, m, d)
+    # elements regardless of m (see PAIR_BUDGET) ---
+    n, d = X.shape
+    m, k = cfg.m, cfg.k
+    B = _block_size(n, m, d)
+    nb = -(-m // B)
+    pad = nb * B - m
+    # i-side arrays padded so partial blocks contribute exactly zero: padded
+    # w/v/iSigma_w rows are zero (kills the contractions); padded Sigma/iS
+    # are 1 and P/lnz are 0 so every padded pair density stays finite.
+    P_i = jnp.pad(P, ((0, pad), (0, 0)))
+    iS_i = jnp.pad(iS, ((0, pad), (0, 0)), constant_values=1.0)
+    Sig_i = jnp.pad(Sigma, ((0, pad), (0, 0)), constant_values=1.0)
+    lnz_i = jnp.pad(lnz, (0, pad))
+    w_i = jnp.pad(w, ((0, pad), (0, 0)))
+    v_i = jnp.pad(v, ((0, pad), (0, 0)))
+    iSW_i = jnp.pad(post.iSigma_w, ((0, 0), (0, pad), (0, 0)))
+    Pio_l = None if complete else jnp.pad(Pio, ((0, 0), (0, pad)))
 
-    # observed-part pair density (n, m, m); the d-expanded intermediate is
-    # (n, m, m, d) — the caller chunks rows to bound memory
-    CP = Cij[None, :, :, :] + psi[:, None, None, :]        # (n, m, m, d)
-    dxc = X[:, None, None, :] - cij[None, :, :, :]
-    lnNo_pair = jnp.sum(
-        (-0.5 * dxc**2 / CP - 0.5 * jnp.log(CP)) * om[None, None, None, :],
-        axis=-1,
-    )
-
-    if complete:
-        Ec = jnp.exp(lnNo_pair)
-    else:
-        # GMM expectation over unobserved dims (predictDiag.m:181-186)
-        SC = Sigma[:, None, None, :] + Cij[None, :, :, :]  # (l, i, j, d)
-        dPc = P[:, None, None, :] - cij[None, :, :, :]
-        lnNu = jnp.sum(
-            (-0.5 * dPc**2 / SC - 0.5 * jnp.log(SC)) * um[None, None, None, :],
+    def pair_block(i0):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i0, B, 0)
+        Pb, iSb, Sb, lzb, wb, vb = (
+            sl(P_i), sl(iS_i), sl(Sig_i), sl(lnz_i), sl(w_i), sl(v_i)
+        )
+        iSWb = jax.lax.dynamic_slice_in_dim(iSW_i, i0, B, 1)   # (k, B, m)
+        iCij = iSb[:, None, :] + iS[None, :, :]                # (B, m, d)
+        Cij = 1.0 / iCij
+        cij = (Pb[:, None, :] * iSb[:, None, :]
+               + P[None, :, :] * iS[None, :, :]) * Cij
+        Sij = Sb[:, None, :] + Sigma[None, :, :]
+        dP = Pb[:, None, :] - P[None, :, :]
+        lnZij = (
+            lzb[:, None] + lnz[None, :]
+            - 0.5 * jnp.sum(dP**2 / Sij + jnp.log(Sij), axis=-1)
+        )                                                      # (B, m)
+        CP = Cij[None] + psi[:, None, None, :]                 # (n, B, m, d)
+        dxc = X[:, None, None, :] - cij[None]
+        lnNo_pair = jnp.sum(
+            (-0.5 * dxc**2 / CP - 0.5 * jnp.log(CP)) * om[None, None, None, :],
             axis=-1,
         )
-        Ec = jnp.exp(lnNo_pair) * jnp.einsum(
-            "nl,lij->nij", Pio, jnp.exp(lnNu)
-        )
+        if complete:
+            Ec = jnp.exp(lnNo_pair)
+        else:
+            # GMM expectation over unobserved dims (predictDiag.m:181-186),
+            # chunked over mixture components l with the same block size so
+            # the n-independent (l, B, m, d) table is bounded too
+            def l_block(l0):
+                Slb = jax.lax.dynamic_slice_in_dim(Sig_i, l0, B, 0)
+                Plb = jax.lax.dynamic_slice_in_dim(P_i, l0, B, 0)
+                SC = Slb[:, None, None, :] + Cij[None]         # (B, B, m, d)
+                dPc = Plb[:, None, None, :] - cij[None]
+                lnNu = jnp.sum(
+                    (-0.5 * dPc**2 / SC - 0.5 * jnp.log(SC))
+                    * um[None, None, None, :],
+                    axis=-1,
+                )
+                Piob = jax.lax.dynamic_slice_in_dim(Pio_l, l0, B, 1)
+                return (jnp.einsum("nl,lij->nij", Piob, jnp.exp(lnNu)),)
+            (mix,) = _blocked_sum(
+                l_block, nb, B, (jnp.zeros((n, B, m), X.dtype),)
+            )
+            Ec = jnp.exp(lnNo_pair) * mix
+        ZN = jnp.exp(lnZij)[None] * Ec                         # (n, B, m)
+        g_c = jnp.einsum("nij,ik,jk->nk", ZN, wb, w)
+        V_c = jnp.einsum("nij,ik,jk->nk", ZN, vb, v)
+        nu_c = jnp.einsum("nij,kij->nk", ZN, iSWb)
+        return g_c, V_c, nu_c
 
-    ZN = jnp.exp(lnZij)[None, :, :] * Ec                   # (n, m, m)
-
-    gamma = jnp.einsum("nij,ik,jk->nk", ZN, w, w) - mu**2
-    VlnS = jnp.einsum("nij,ik,jk->nk", ZN, v, v) - ElnS**2
-    nu = jnp.einsum("nij,kij->nk", ZN, post.iSigma_w)
+    zero = jnp.zeros((n, k), X.dtype)
+    g_sum, V_sum, nu = _blocked_sum(pair_block, nb, B, (zero, zero, zero))
+    gamma = g_sum - mu**2
+    VlnS = V_sum - ElnS**2
 
     ElnS_b = ElnS + b[None, :]
     beta_i = jnp.exp(ElnS_b) * (1.0 + 0.5 * VlnS)
@@ -231,50 +294,97 @@ def predict_moments_full(params, post, priors, cfg: ModelConfig, X,
             jnp.einsum("mij,njk,mlk->nmil", J, psi, J) + cond_cov[None]
         )                                                          # (n, m, d, d)
 
-        # PHI_i = exp(lnz_i) sum_j Pio_j N(X_hat_j; P_i, Sigma_i + Psi_hat_j)
-        SPH = Sigma[None, :, None] + Psi_hat[:, None, :, :]        # (n, i, j, d, d)
-        dXh = X_hat[:, None, :, :] - P[None, :, None, :]           # (n, i, j, d)
-        quad_f, ld_f = quad_logdet_psd(SPH, dXh)
-        lnNfull = -0.5 * quad_f - 0.5 * ld_f
-        PHI = jnp.exp(lnz)[None, :] * jnp.einsum(
-            "nj,nij->ni", Pio, jnp.exp(lnNfull)
+        # PHI_i = exp(lnz_i) sum_j Pio_j N(X_hat_j; P_i, Sigma_i + Psi_hat_j),
+        # as a scan over mixture components j so the peak intermediate is
+        # (n, m, d, d) — never the (n, m, m, d, d) tensor (VERDICT r1 item 7)
+        mix_xs = (
+            jnp.moveaxis(Psi_hat, 1, 0),                           # (m, n, d, d)
+            jnp.moveaxis(X_hat, 1, 0),                             # (m, n, d)
+            Pio.T,                                                 # (m, n)
         )
+
+        def phi_step(acc, xs):
+            Ph_l, Xh_l, Pio_l = xs
+            SPH = Sigma[None] + Ph_l[:, None]                      # (n, m, d, d)
+            dXh = Xh_l[:, None, :] - P[None]
+            quad_f, ld_f = quad_logdet_psd(SPH, dXh)
+            return acc + Pio_l[:, None] * jnp.exp(-0.5 * quad_f - 0.5 * ld_f), None
+
+        phi_sum, _ = jax.lax.scan(
+            phi_step, jnp.zeros((n, m), X.dtype), mix_xs
+        )
+        PHI = jnp.exp(lnz)[None, :] * phi_sum
 
     mu = PHI @ w
     ElnS = PHI @ v
 
-    # --- pairwise quantities (predictCov.m:101-113) ---
-    iCij = iSig[:, None] + iSig[None, :]                    # (m, m, d, d)
-    Cij, _ = unrolled_inv_psd(iCij)
+    # --- pairwise pass (predictCov.m:101-113,180-218), tiled over blocks of
+    # basis index i; the mixture sum of the missing path runs as a scan over
+    # components l so the reference's (n, l, i, j, d, d) triple-loop tensor
+    # never materializes — peak live block is (n, B, m, d, d) elements ---
     PiS = jnp.einsum("id,idk->ik", P, iSig)                 # (m, d)
-    cij = jnp.einsum("ijd,ijdk->ijk", jnp.broadcast_to(
-        PiS[:, None, :], (m, m, d)) + PiS[None, :, :], Cij)
-    SS = Sigma[:, None] + Sigma[None, :]                    # (m, m, d, d)
-    dP = P[:, None, :] - P[None, :, :]
-    quad_p, ld_p = quad_logdet_psd(SS, dP)
-    lnZij = (
-        lnz[:, None] + lnz[None, :] - 0.5 * quad_p - 0.5 * ld_p
-    )                                                       # (m, m)
+    B = _block_size(n, m, d * d)
+    nb = -(-m // B)
+    pad = nb * B - m
+    eye_pad = jnp.broadcast_to(eye, (pad, d, d))
+    P_i = jnp.pad(P, ((0, pad), (0, 0)))
+    PiS_i = jnp.pad(PiS, ((0, pad), (0, 0)))
+    iSig_i = jnp.concatenate([iSig, eye_pad], axis=0)
+    Sig_i = jnp.concatenate([Sigma, eye_pad], axis=0)
+    lnz_i = jnp.pad(lnz, (0, pad))
+    w_i = jnp.pad(w, ((0, pad), (0, 0)))
+    v_i = jnp.pad(v, ((0, pad), (0, 0)))
+    iSW_i = jnp.pad(post.iSigma_w, ((0, 0), (0, pad), (0, 0)))
 
-    # E_c[N(c; cij, Cij)] over the predictive density of c
-    if complete:
-        CP = Cij[None] + psi[:, None, None]                 # (n, m, m, d, d)
-        dxc = X[:, None, None, :] - cij[None, :, :, :]
-        quad_c, ld_c = quad_logdet_psd(CP, dxc)
-        Ec = jnp.exp(-0.5 * quad_c - 0.5 * ld_c)
-    else:
-        # sum over mixture components l (predictCov.m:197-202,301-306)
-        CPl = Cij[None, None] + Psi_hat[:, :, None, None]   # (n, l, i, j, d, d)
-        dxc = X_hat[:, :, None, None, :] - cij[None, None, :, :, :]
-        quad_c, ld_c = quad_logdet_psd(CPl, dxc)
-        lnNc = -0.5 * quad_c - 0.5 * ld_c
-        Ec = jnp.einsum("nl,nlij->nij", Pio, jnp.exp(lnNc))
+    def pair_block(i0):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i0, B, 0)
+        Pb, PiSb, iSigb, Sigb, lzb, wb, vb = (
+            sl(P_i), sl(PiS_i), sl(iSig_i), sl(Sig_i), sl(lnz_i),
+            sl(w_i), sl(v_i),
+        )
+        iSWb = jax.lax.dynamic_slice_in_dim(iSW_i, i0, B, 1)   # (k, B, m)
+        iCij = iSigb[:, None] + iSig[None, :]                  # (B, m, d, d)
+        Cij, _ = unrolled_inv_psd(iCij)
+        cij = jnp.einsum(
+            "ijd,ijdk->ijk",
+            jnp.broadcast_to(PiSb[:, None, :], (B, m, d)) + PiS[None, :, :],
+            Cij,
+        )
+        SS = Sigb[:, None] + Sigma[None, :]                    # (B, m, d, d)
+        dP = Pb[:, None, :] - P[None, :, :]
+        quad_p, ld_p = quad_logdet_psd(SS, dP)
+        lnZij = lzb[:, None] + lnz[None, :] - 0.5 * quad_p - 0.5 * ld_p
 
-    ZN = jnp.exp(lnZij)[None] * Ec                          # (n, m, m)
+        if complete:
+            CP = Cij[None] + psi[:, None, None]                # (n, B, m, d, d)
+            dxc = X[:, None, None, :] - cij[None]
+            quad_c, ld_c = quad_logdet_psd(CP, dxc)
+            Ec = jnp.exp(-0.5 * quad_c - 0.5 * ld_c)
+        else:
+            # mixture sum over l (predictCov.m:197-202,301-306)
+            def ec_step(acc, xs):
+                Ph_l, Xh_l, Pio_l = xs
+                CPl = Cij[None] + Ph_l[:, None, None]          # (n, B, m, d, d)
+                dxc = Xh_l[:, None, None, :] - cij[None]
+                quad_c, ld_c = quad_logdet_psd(CPl, dxc)
+                return acc + Pio_l[:, None, None] * jnp.exp(
+                    -0.5 * quad_c - 0.5 * ld_c
+                ), None
 
-    gamma = jnp.einsum("nij,ik,jk->nk", ZN, w, w) - mu**2
-    VlnS = jnp.einsum("nij,ik,jk->nk", ZN, v, v) - ElnS**2
-    nu = jnp.einsum("nij,kij->nk", ZN, post.iSigma_w)
+            Ec, _ = jax.lax.scan(
+                ec_step, jnp.zeros((n, B, m), X.dtype), mix_xs
+            )
+
+        ZN = jnp.exp(lnZij)[None] * Ec                         # (n, B, m)
+        g_c = jnp.einsum("nij,ik,jk->nk", ZN, wb, w)
+        V_c = jnp.einsum("nij,ik,jk->nk", ZN, vb, v)
+        nu_c = jnp.einsum("nij,kij->nk", ZN, iSWb)
+        return g_c, V_c, nu_c
+
+    zero = jnp.zeros((n, k), X.dtype)
+    g_sum, V_sum, nu = _blocked_sum(pair_block, nb, B, (zero, zero, zero))
+    gamma = g_sum - mu**2
+    VlnS = V_sum - ElnS**2
 
     ElnS_b = ElnS + b[None, :]
     beta_i = jnp.exp(ElnS_b) * (1.0 + 0.5 * VlnS)

@@ -213,3 +213,46 @@ def test_missing_diag_vs_loopy_reference(rng, with_psi):
         np.testing.assert_allclose(
             np.asarray(g), e, rtol=1e-7, atol=1e-10, err_msg=name
         )
+
+
+@pytest.mark.parametrize("method", ["VD", "VC"])
+@pytest.mark.parametrize("complete", [True, False])
+def test_blocked_pair_pass_matches_single_block(rng, method, complete,
+                                                monkeypatch):
+    """The i-blocked pair pass (predict.PAIR_BUDGET tiling) must reproduce
+    the one-shot result bit-tolerantly, including partial trailing blocks
+    (m=7 with B=2 -> pad) and the l-chunked mixture sums of the missing
+    paths (VERDICT r1 item 7)."""
+    import importlib
+
+    predict_mod = importlib.import_module("gpz_tpu.predict")
+
+    n, d, m, k = 9, 3, 7, 2
+    cfg = ModelConfig(m=m, d=d, k=k, method=method, dtype="float64")
+    params = make_params(rng, cfg)
+    post = make_post(rng, m, k)
+    priors = jnp.asarray(rng.dirichlet(np.ones(m)))
+    X = jnp.asarray(rng.standard_normal((n, d)))
+    mask_vec = jnp.ones(d, bool) if complete else jnp.asarray([True, False, True])
+    if cfg.full_cov:
+        A = rng.standard_normal((n, d, d)) * 0.1
+        psi = jnp.asarray(A @ np.swapaxes(A, 1, 2) + 0.05 * np.eye(d))
+    else:
+        psi = jnp.asarray(0.05 + 0.1 * rng.random((n, d)))
+    Xz = X * mask_vec[None, :].astype(X.dtype)
+
+    fn = predict_moments_full if cfg.full_cov else predict_moments_diag
+    one_shot = fn(params, post, priors, cfg, Xz, mask_vec.astype(X.dtype),
+                  psi, complete)
+
+    # force B=2 -> 4 blocks with a padded tail
+    monkeypatch.setattr(predict_mod, "PAIR_BUDGET", n * m * d * d * 2 // 1)
+    monkeypatch.setattr(predict_mod, "_block_size", lambda n_, m_, dc: 2)
+    blocked = fn(params, post, priors, cfg, Xz, mask_vec.astype(X.dtype),
+                 psi, complete)
+
+    for a, b, name in zip(one_shot, blocked,
+                          ["mu", "nu", "beta_i", "gamma", "phi"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-10, atol=1e-12, err_msg=name
+        )
