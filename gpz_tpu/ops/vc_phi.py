@@ -38,8 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 # Tile sizes. The (BN, BM) plane set of the forward kernel must fit Mosaic's
 # scoped-VMEM stack budget (16 MB on v5e) *including* the jvp/transpose copies
 # XLA adds when the call sits under value_and_grad — BM=256 tiles exceed it.
-# 96x128 measured fastest of the fitting configs on v5e (53 vs 49-51 grad
-# evals/s on the m=100 n=100k bench). Env-tunable for per-chip autotuning.
+# Env-tunable for per-chip autotuning.
 BN = int(os.environ.get("GPZ_VC_BN", 96))        # row (sublane) tile
 BN_BWD = int(os.environ.get("GPZ_VC_BN_BWD", 96))  # backward row tile
 BM = int(os.environ.get("GPZ_VC_BM", 128))       # basis (lane) tile
@@ -49,8 +48,17 @@ _I0 = np.int32(0)  # index-map literal: i32 even under jax_enable_x64
 
 
 def pallas_enabled() -> bool:
-    """Pallas path is used on TPU unless disabled via GPZ_DISABLE_PALLAS=1."""
-    if os.environ.get("GPZ_DISABLE_PALLAS") == "1":
+    """Pallas VC path is OPT-IN via GPZ_ENABLE_PALLAS=1 (TPU only).
+
+    Measured on the driver bench (v5e, VC m=100 n=100k, round-3 session,
+    post-mixed-precision): plain XLA path 93-95 grad evals/s vs 53-54 with
+    this kernel in the loop — the kernel's unrolled per-plane arithmetic
+    beats an (n, m, d, d) HBM materialization only when XLA fails to fuse,
+    and current XLA fuses this contraction well. Kept for study and for
+    shapes where the (n, m, d^2) intermediates exceed HBM; re-flip only with
+    a fresh A/B measurement recorded next to the default.
+    """
+    if os.environ.get("GPZ_ENABLE_PALLAS") != "1":
         return False
     try:
         return jax.default_backend() == "tpu"

@@ -88,6 +88,7 @@ class _LSState(NamedTuple):
     done: jax.Array
     bracketed: jax.Array
     failed: jax.Array
+    saw_finite: jax.Array  # any trial evaluated to a finite f
     # bracket endpoints (set when bracketed)
     t_lo: jax.Array
     f_lo: jax.Array
@@ -138,6 +139,7 @@ def wolfe_line_search(fun, x, f0, g0, d, t0, c1, c2, max_ls, prog_tol, aux0):
         done=jnp.zeros((), bool),
         bracketed=jnp.zeros((), bool),
         failed=jnp.zeros((), bool),
+        saw_finite=jnp.isfinite(f_t0),
         t_lo=jnp.zeros((), dtype),
         f_lo=f0,
         gtd_lo=gtd0,
@@ -216,6 +218,7 @@ def wolfe_line_search(fun, x, f0, g0, d, t0, c1, c2, max_ls, prog_tol, aux0):
             ls_iter=s.ls_iter + jnp.where(cont, 1, 0),
             done=done,
             bracketed=bracketed,
+            saw_finite=s.saw_finite | jnp.isfinite(f_new),
             t_lo=t_lo,
             f_lo=f_lo,
             gtd_lo=gtd_lo,
@@ -289,8 +292,16 @@ def wolfe_line_search(fun, x, f0, g0, d, t0, c1, c2, max_ls, prog_tol, aux0):
             lambda a, b: jnp.where(upd_lo, a, b), aux_new, s.aux_lo
         )
 
-        # give up when the bracket can no longer make progress
-        stall = jnp.abs(gtd_new) * jnp.abs(t_hi - t_lo) < prog_tol
+        # give up when the bracket can no longer make progress — but ONLY on
+        # a finite trial: a non-finite trial carries a sentinel zeroed
+        # gradient (eval_at), and |0|*width < prog_tol would abort instantly.
+        # The reference instead keeps shrinking the step until evals are
+        # finite (WolfeLineSearch.m:53-69 -> ArmijoBacktrack.m); here the
+        # shrinking is the bisection above (f_hi=inf forces the midpoint),
+        # budgeted by max_ls.
+        stall = jnp.isfinite(f_new) & (
+            jnp.abs(gtd_new) * jnp.abs(t_hi - t_lo) < prog_tol
+        )
         failed = (~done) & stall
 
         return s._replace(
@@ -301,6 +312,7 @@ def wolfe_line_search(fun, x, f0, g0, d, t0, c1, c2, max_ls, prog_tol, aux0):
             ls_iter=s.ls_iter + 1,
             done=done,
             failed=failed,
+            saw_finite=s.saw_finite | jnp.isfinite(f_new),
             t_lo=t_lo,
             f_lo=f_lo,
             gtd_lo=gtd_lo,
@@ -327,7 +339,7 @@ def wolfe_line_search(fun, x, f0, g0, d, t0, c1, c2, max_ls, prog_tol, aux0):
         s.aux_new, s.aux_lo, aux0,
     )
     failed = ~s.done & ~use_lo
-    return t_out, f_out, g_out, aux_out, s.ls_iter, failed
+    return t_out, f_out, g_out, aux_out, s.ls_iter, failed, s.saw_finite
 
 
 def _lbfgs_direction(g, S, Yb, count, pos, hdiag, history):
@@ -381,6 +393,7 @@ class _OptState(NamedTuple):
     best_x: jax.Array
     best_score: jax.Array
     attempts: jax.Array
+    restarted: jax.Array   # memory was just reset -> rescale next trial step
     trace: dict
 
 
@@ -504,6 +517,7 @@ def minimize(
         best_x=jnp.where(improved0, x0, x_best0),
         best_score=jnp.where(improved0, score0, init_best_score),
         attempts=jnp.zeros((), jnp.int32),
+        restarted=jnp.zeros((), bool),
         trace=trace0,
     )
 
@@ -516,60 +530,109 @@ def minimize(
         return (s.status == STATUS_RUNNING) & (s.it < max_iter)
 
     def body(s: _OptState):
-        d = _lbfgs_direction(s.g, s.S, s.Yb, s.count, s.pos, s.hdiag, history)
-        # safeguard: non-finite direction -> steepest descent (minFunc isLegal)
-        d_ok = jnp.all(jnp.isfinite(d))
-        d = jnp.where(d_ok, d, -s.g)
+        d_raw = _lbfgs_direction(
+            s.g, s.S, s.Yb, s.count, s.pos, s.hdiag, history
+        )
+        # fall back to steepest descent when the quasi-Newton direction is
+        # non-finite (minFunc isLegal, minFunc.m:963) OR fails the descent
+        # test (minFunc.m:972-980) — and reset the curvature memory, since a
+        # bad direction means the history no longer models the local
+        # curvature. minFunc aborts on non-descent; resetting first and only
+        # aborting when steepest descent itself fails is the "quit only when
+        # the fallback is exhausted" semantics.
+        # ">= 0" and not "> -prog_tol": a direction with tiny-but-negative
+        # gtd is the normal near-convergence regime (handled by the progress
+        # tests below), not a breakdown — swapping it for steepest descent
+        # would derail the final quasi-Newton steps.
+        d_bad = ~jnp.all(jnp.isfinite(d_raw)) | (jnp.vdot(s.g, d_raw) >= 0)
+        fallback = d_bad & (s.count > 0)
+        d = jnp.where(d_bad, -s.g, d_raw)
+        count0 = jnp.where(fallback, 0, s.count)
+        pos0 = jnp.where(fallback, 0, s.pos)
+        hdiag0 = jnp.where(fallback, jnp.ones((), dtype), s.hdiag)
 
         gtd = jnp.vdot(s.g, d)
-        no_descent = gtd > -prog_tol
+        # terminal only when even steepest descent is non-descent (g zero or
+        # non-finite). A direction with tiny-but-negative gtd is NOT terminal:
+        # it is either near-convergence (the progress tests below handle it)
+        # or a badly *scaled* quasi-Newton direction after extreme curvature
+        # pairs — the line search's 10x extrapolation recovers the scale
+        # (minFunc maxStep rule, WolfeLineSearch.m bracketing).
+        no_descent = gtd >= 0
 
-        # step init (minFunc.m:983-1023): first iter t = min(1, 1/sum|g|)
+        # step init (minFunc.m:983-1023): first iter t = min(1, 1/sum|g|);
+        # same rescale after a memory reset (the next step is steepest
+        # descent again, so the raw |g| scale applies)
         t0 = jnp.where(
-            s.it == 0,
+            (s.it == 0) | s.restarted | fallback,
             jnp.minimum(1.0, 1.0 / jnp.sum(jnp.abs(s.g))),
             1.0,
         ).astype(dtype)
 
-        t, f_new, g_new, aux_new, ls_evals, ls_failed = wolfe_line_search(
-            fun, s.x, s.f, s.g, d, t0, c1, c2, max_ls, prog_tol, s.aux
+        t, f_new, g_new, aux_new, ls_evals, ls_failed, saw_finite = (
+            wolfe_line_search(
+                fun, s.x, s.f, s.g, d, t0, c1, c2, max_ls, prog_tol, s.aux
+            )
         )
         x_new = s.x + t * d
+
+        # a failed search with curvature memory in play: discard the memory
+        # and retry from steepest descent next iteration instead of aborting
+        # (the reference only gives up after its Armijo fallback is
+        # exhausted, WolfeLineSearch.m:53-69). Terminal only when steepest
+        # descent itself cannot find a step — and then the terminal code
+        # depends on WHY: finite trials that never improved mean the function
+        # is flat along -g at working precision ("function value changing by
+        # less than progTol", minFunc.m's progress break — the f32 noise
+        # floor lands here), while all-non-finite trials are a genuine
+        # line-search pathology.
+        soft_fail = ls_failed & (count0 > 0)
+        hard_fail = ls_failed & (count0 == 0)
+        hard_fail_flat = hard_fail & saw_finite
+        hard_fail_path = hard_fail & ~saw_finite
 
         # curvature update with skip rule (lbfgsAdd.m:5)
         sk = t * d
         yk = g_new - s.g
         ys = jnp.vdot(yk, sk)
         accept = (ys > 1e-10) & ~ls_failed
-        S = jnp.where(accept, s.S.at[s.pos].set(sk), s.S)
-        Yb = jnp.where(accept, s.Yb.at[s.pos].set(yk), s.Yb)
-        pos = jnp.where(accept, (s.pos + 1) % history, s.pos)
-        count = jnp.where(accept, jnp.minimum(s.count + 1, history), s.count)
-        hdiag = jnp.where(accept, ys / jnp.vdot(yk, yk), s.hdiag)
+        S = jnp.where(accept, s.S.at[pos0].set(sk), s.S)
+        Yb = jnp.where(accept, s.Yb.at[pos0].set(yk), s.Yb)
+        pos = jnp.where(accept, (pos0 + 1) % history, pos0)
+        count = jnp.where(accept, jnp.minimum(count0 + 1, history), count0)
+        hdiag = jnp.where(accept, ys / jnp.vdot(yk, yk), hdiag0)
+        count = jnp.where(soft_fail, 0, count)
+        pos = jnp.where(soft_fail, 0, pos)
+        hdiag = jnp.where(soft_fail, jnp.ones((), dtype), hdiag)
 
-        # scoring / early stopping
+        # scoring / early stopping — skipped on a soft-failed iteration
+        # (x unchanged: re-scoring the same point must not reset `attempts`)
         if score_fn is None:
             score, extras = -f_new, ()
         else:
             score, extras = score_fn(x_new, aux_new)
-        improved = score >= s.best_score
+        improved = (score >= s.best_score) & ~soft_fail
         best_x = jnp.where(improved, x_new, s.best_x)
         best_score = jnp.where(improved, score, s.best_score)
-        attempts = jnp.where(improved, 0, s.attempts + 1)
+        attempts = jnp.where(
+            soft_fail, s.attempts, jnp.where(improved, 0, s.attempts + 1)
+        )
 
         opt_cond = jnp.max(jnp.abs(g_new))
         it = s.it + 1
 
         status = jnp.asarray(STATUS_RUNNING, jnp.int32)
         status = jnp.where(attempts >= attempts_cap, STATUS_EARLY_STOP, status)
-        status = jnp.where(
-            jnp.abs(s.f - f_new) < prog_tol, STATUS_STEP_TOO_SMALL, status
+        # progress-based termination only applies to a real accepted step —
+        # a soft-failed iteration leaves x/f unchanged by construction
+        prog_stop = (~soft_fail) & (
+            (jnp.abs(s.f - f_new) < prog_tol)
+            | (jnp.max(jnp.abs(t * d)) <= prog_tol)
         )
-        status = jnp.where(
-            jnp.max(jnp.abs(t * d)) <= prog_tol, STATUS_STEP_TOO_SMALL, status
-        )
+        status = jnp.where(prog_stop, STATUS_STEP_TOO_SMALL, status)
         status = jnp.where(opt_cond <= opt_tol, STATUS_OPTIMAL, status)
-        status = jnp.where(ls_failed, STATUS_LS_FAILED, status)
+        status = jnp.where(hard_fail_flat, STATUS_STEP_TOO_SMALL, status)
+        status = jnp.where(hard_fail_path, STATUS_LS_FAILED, status)
         status = jnp.where(no_descent, STATUS_NO_DESCENT, status)
         status = jnp.where(it >= max_iter, jnp.where(
             status == STATUS_RUNNING, STATUS_MAX_ITER, status), status)
@@ -594,6 +657,7 @@ def minimize(
             best_x=best_x,
             best_score=best_score,
             attempts=attempts,
+            restarted=soft_fail,
             trace=trace,
         )
 
