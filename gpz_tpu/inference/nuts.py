@@ -123,8 +123,15 @@ def _build_subtree(logp_fn, grad_fn, state: _SubtreeState, depth, eps,
     return lax.fori_loop(0, n_leaf, guarded, state)
 
 
-def _nuts_step(logp_fn, grad_fn, key, x0, logp0, eps, inv_mass, max_depth):
-    """One NUTS transition. Returns (x_new, logp_new, accept_stat, depth)."""
+def _nuts_step(logp_fn, grad_fn, key, x0, logp0, eps, inv_mass, max_depth,
+               axis_name=None):
+    """One NUTS transition. Returns (x_new, logp_new, accept_stat, depth).
+
+    `axis_name`: set when the chains are sharded over a mesh axis under
+    shard_map (collective adaptation). The freshly created constants of the
+    per-subtree while-carry (zeros/-inf/False) are then pcast to 'varying'
+    over that axis — shard_map's typed carries reject a loop whose input
+    carry is axis-invariant but whose output depends on varying data."""
     dim = x0.shape[0]
     kp, key = jax.random.split(key)
     p0 = jax.random.normal(kp, (dim,), x0.dtype) / jnp.sqrt(inv_mass)
@@ -181,6 +188,17 @@ def _nuts_step(logp_fn, grad_fn, key, x0, logp0, eps, inv_mass, max_depth):
                 turning=jnp.zeros((), bool),
                 diverged=jnp.zeros((), bool),
             )
+            if axis_name is not None:
+                # fresh constants -> varying over the chain-shard axis (see
+                # _nuts_step docstring); leaves already varying are left alone
+                # (pcast rejects varying->varying)
+                def _to_varying(a):
+                    vma = getattr(jax.typeof(a), "vma", frozenset())
+                    if axis_name in vma:
+                        return a
+                    return jax.lax.pcast(a, axis_name, to="varying")
+
+                sub = jax.tree.map(_to_varying, sub)
             sub = _build_subtree(
                 logp_fn, grad_fn, sub, depth, eps_d, inv_mass, h0, max_depth
             )
@@ -282,7 +300,8 @@ def nuts_sample(
 
         def step_one(k, x, logp, eps, inv_mass):
             x, logp, acc, depth, div = _nuts_step(
-                logp_fn, grad_fn, k, x, logp, eps, inv_mass, max_depth
+                logp_fn, grad_fn, k, x, logp, eps, inv_mass, max_depth,
+                axis_name=axis_name,
             )
             return x, logp, acc, (depth.astype(x.dtype), div)
 
