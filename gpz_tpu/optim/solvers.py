@@ -15,6 +15,14 @@ objectives (NumPy models, posterior diagnostics, small calibration fits):
   newton0  Hessian-free Newton (CG + num. Hv)   (ref minFunc.m:715-793)
   newton   exact Newton w/ modified Cholesky    (ref minFunc.m:795-819,
                                                  mex/mcholC.c via native)
+  scg      CG with Hessian-scaled initial step  (ref minFunc_process-
+                                                 InputOptions.m:98-101,
+                                                 minFunc.m:1001-1017)
+  mnewton  Newton, Hessian reused 5 iterations  (ref minFunc_process-
+                                                 InputOptions.m:77-79,
+                                                 minFunc.m:1041-1049)
+  tensor   3rd-order Taylor model via inner     (ref minFunc.m:932-959,
+           Newton solve, eig-step fallback       taylorModel.m)
 
 All methods share the strong-Wolfe / Armijo line searches and the
 optTol/progTol termination rules of the reference driver
@@ -40,6 +48,7 @@ from gpz_tpu.optim.host_lbfgs import (
 
 METHODS = (
     "sd", "csd", "bb", "cg", "pcg", "lbfgs", "qnewton", "newton0", "newton",
+    "scg", "mnewton", "tensor",
 )
 
 
@@ -178,6 +187,15 @@ def minimize_any(
             fun, x0, history=history, max_iter=max_iter, opt_tol=opt_tol,
             prog_tol=prog_tol, c1=c1, c2=c2, max_ls=max_ls, callback=callback,
         )
+    # reference aliases (minFunc_processInputOptions.m:70-114): scg is CG
+    # with the Hessian-scaled step init; mnewton is Newton with the Hessian
+    # recomputed every 5 iterations
+    scaled_init = method == "scg"
+    hessian_iter = 5 if method == "mnewton" else 1
+    if method == "scg":
+        method = "cg"
+    elif method == "mnewton":
+        method = "newton"
 
     def split(fx):
         # accept (f, g) or (f, g, H)
@@ -189,6 +207,17 @@ def minimize_any(
     def fg(x):
         f, g, _ = split(fun(x))
         return f, g
+
+    def eval_H(xq):
+        """Hessian at xq for the newton/mnewton/tensor families."""
+        if hess_fun is not None:
+            return np.asarray(hess_fun(xq), np.float64)
+        fx = fun(xq)
+        if len(fx) != 3 or fx[2] is None:
+            raise ValueError(
+                f"method={method!r} needs hess_fun or fun returning (f, g, H)"
+            )
+        return np.asarray(fx[2], np.float64)
 
     x = np.asarray(x0, np.float64).copy()
     p = x.shape[0]
@@ -206,6 +235,8 @@ def minimize_any(
     s_old = None  # preconditioned gradient (pcg)
     t = 1.0
     alpha = 1.0
+    f_prev = f    # previous-iterate f (scg quadratic step init)
+    h_age = 0     # iterations since the Hessian was computed (mnewton)
     Hinv = None  # qnewton dense inverse Hessian
     precond = _LBFGSPrecond(p, history=min(history, 10)) \
         if method in ("pcg", "newton0") else None
@@ -298,21 +329,55 @@ def minimize_any(
             evals += 2 * cg_iters  # two grad evals per Hv product
         elif method == "newton":
             if H is None:
-                if hess_fun is not None:
-                    H = np.asarray(hess_fun(x), np.float64)
-                else:
-                    f, g, H = split(fun(x))
-                    evals += 1
-                    if H is None:
-                        raise ValueError(
-                            "method='newton' needs hess_fun or fun "
-                            "returning (f, g, H)")
+                H = eval_H(x)
+                evals += 1
+                h_age = 0
             # Gill–Murray modified Cholesky: PD by construction
             L, dd, perm = native.modified_cholesky(H)
             z = np.linalg.solve(L, g[perm])
             w = np.linalg.solve(L.T, z / dd)
             d = np.zeros_like(g)
             d[perm] = -w
+        elif method == "tensor":
+            # 3rd-order Taylor model (ref minFunc.m:932-959): numerically
+            # differentiate the Hessian for T (ref autoDif/autoTensor.m),
+            # minimize the cubic model with an inner Newton run
+            # (taylorModel.m), fall back to the eigendecomposed 2nd-order
+            # step when the model step is unbounded/degenerate
+            H = eval_H(x)
+            T = np.zeros((p, p, p))
+            h_eps = 1e-5 * max(1.0, float(np.linalg.norm(x)))
+            for i_dim in range(p):
+                e = np.zeros(p)
+                e[i_dim] = h_eps
+                T[i_dim] = (eval_H(x + e) - eval_H(x - e)) / (2 * h_eps)
+            evals += 1 + 2 * p
+            f_c, g_c, H_c = f, g.copy(), H
+
+            def taylor(dd):
+                fd = (
+                    f_c + g_c @ dd + 0.5 * dd @ H_c @ dd
+                    + np.einsum("ijk,i,j,k->", T, dd, dd, dd) / 6.0
+                )
+                gd = g_c + H_c @ dd + 0.5 * np.einsum("ijk,i,j->k", T, dd, dd)
+                Hd = H_c + np.einsum("ijk,i->jk", T, dd)
+                if np.any(np.abs(dd) > 1e5):  # unbounded model (taylorModel.m)
+                    gd = np.zeros_like(gd)
+                return fd, gd, Hd
+
+            sub = minimize_any(
+                taylor, np.zeros(p), method="newton",
+                max_iter=max_iter, opt_tol=opt_tol, prog_tol=prog_tol,
+            )
+            d = sub.x
+            if (np.any(np.abs(d) > 1e5) or np.all(np.abs(d) < 1e-5)
+                    or float(g @ d) > -prog_tol):
+                w_eig, V = np.linalg.eigh(0.5 * (H + H.T))
+                dn = np.maximum(
+                    np.abs(w_eig), max(float(np.max(np.abs(w_eig))), 1.0) * 1e-12
+                )
+                d = -V @ ((V.T @ g) / dn)
+            H = None
         else:  # pragma: no cover
             raise AssertionError(method)
 
@@ -327,6 +392,15 @@ def minimize_any(
         t0 = min(1.0, 1.0 / np.sum(np.abs(g))) if it == 0 else 1.0
         if method == "csd" and not use_armijo:
             t0 = 1.0
+        if scaled_init and it > 0:
+            # LS_init=4 (ref minFunc.m:1001-1017): exact Newton step along d
+            # from a numerical Hessian-vector product; quadratic init from
+            # the previous f decrease when curvature is non-positive
+            dHd = float(d @ numerical_hvp(fg, x, d))
+            evals += 2
+            t0 = -gtd / dHd if dHd > 0 else min(1.0, 2.0 * (f - f_prev) / gtd)
+            if not np.isfinite(t0) or t0 <= 0:
+                t0 = 1.0
         if use_armijo:
             # the first-iteration min(1, 1/sum|g|) scaling applies to every
             # method in the reference (minFunc.m:983-1023), Armijo included
@@ -341,11 +415,16 @@ def minimize_any(
             break
 
         g_old, d_old = g, d
+        f_prev = f
         step = t * d
         x = x + step
         df = abs(f - f_new)
         f, g = f_new, np.asarray(g_new, np.float64)
-        H = None  # newton re-evaluates the Hessian at the new iterate
+        # newton re-evaluates the Hessian at the new iterate; mnewton reuses
+        # it for hessian_iter iterations (ref minFunc.m:1041-1049)
+        h_age += 1
+        if h_age >= hessian_iter:
+            H = None
         opt_cond = float(np.max(np.abs(g)))
         trace.append((f, opt_cond))
         if callback is not None and callback(x, f, g, it):

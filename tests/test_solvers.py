@@ -78,7 +78,10 @@ def test_newton_hess_fun_kwarg():
     assert res.f < 1e-8
 
 
-@pytest.mark.parametrize("method", [m for m in METHODS if m != "newton"])
+@pytest.mark.parametrize(
+    "method",
+    [m for m in METHODS if m not in ("newton", "mnewton", "tensor")],
+)
 def test_quadratic_all_methods(method):
     rng = np.random.default_rng(0)
     A = rng.standard_normal((6, 6))
@@ -101,6 +104,47 @@ def test_logistic_regression(method):
     # all methods agree on the strictly convex optimum
     ref = minimize_any(loss, np.zeros(p), method="lbfgs", max_iter=500)
     assert res.f <= ref.f + 1e-4, (method, res.status)
+
+
+def test_scg_rosenbrock():
+    """scg = CG with the Hessian-scaled initial step (ref
+    minFunc_processInputOptions.m:98-101, minFunc.m:1001-1017)."""
+    res = minimize_any(rosenbrock, np.array([-1.2, 1.0]), method="scg",
+                       max_iter=2000)
+    assert res.f < 1e-8, (res.status, res.f)
+    np.testing.assert_allclose(res.x, [1.0, 1.0], atol=1e-3)
+
+
+def test_mnewton_rosenbrock():
+    """mnewton = Newton with the Hessian reused for 5 iterations (ref
+    minFunc_processInputOptions.m:77-79, minFunc.m:1041-1049): converges on
+    Rosenbrock, with fewer Hessian evaluations than plain Newton."""
+    h_evals = {"mnewton": 0, "newton": 0}
+
+    def counting_hess(which):
+        def h(x):
+            h_evals[which] += 1
+            return rosenbrock_h(x)[2]
+        return h
+
+    res_m = minimize_any(rosenbrock, np.array([-1.2, 1.0]), method="mnewton",
+                         hess_fun=counting_hess("mnewton"), max_iter=200)
+    res_n = minimize_any(rosenbrock, np.array([-1.2, 1.0]), method="newton",
+                         hess_fun=counting_hess("newton"), max_iter=200)
+    assert res_m.f < 1e-8, (res_m.status, res_m.f)
+    # stale-Hessian reuse: at most ~1/5 of the per-iteration Hessian cost
+    assert h_evals["mnewton"] <= h_evals["newton"]
+    assert h_evals["mnewton"] <= res_m.iterations // 2 + 2
+
+
+def test_tensor_rosenbrock():
+    """tensor = 3rd-order Taylor-model steps with an inner Newton solve and
+    eigen-step fallback (ref minFunc.m:932-959, taylorModel.m). Third-order
+    information should reach the optimum in very few outer iterations."""
+    res = minimize_any(rosenbrock, np.array([-1.2, 1.0]), method="tensor",
+                       hess_fun=lambda x: rosenbrock_h(x)[2], max_iter=60)
+    assert res.f < 1e-8, (res.status, res.f)
+    assert res.iterations <= 40
 
 
 def test_unknown_method_raises():
