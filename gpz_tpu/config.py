@@ -36,16 +36,18 @@ class ModelConfig:
     # eps for the Wolfe line search / progress tests (ref minFunc
     # progTol=1e-9); see `solve_mode` for HOW the f64 quantities are obtained.
     solve_dtype: str = "auto"
-    # How the n-reductions and the m x m solve are computed:
-    #   "strict" — accumulate directly in solve_dtype (native f64 on CPU;
-    #              emulated and ~13x slower end-to-end on TPU — round 1 shipped
-    #              this and failed its perf budget, VERDICT r1 item 1),
+    # How the n-reductions are computed (the m x m factorization and solves
+    # ALWAYS run in solve_dtype — a round-2 f32-factor-plus-refinement scheme
+    # broke down at cond(SIGMA) ~ 1/eps_f32 mid-training; see the note in
+    # objective._gram_terms and PRECISION.md):
+    #   "strict" — accumulate the n-contractions directly in solve_dtype
+    #              (native f64 on CPU; emulated and ~13x slower end-to-end on
+    #              TPU — round 1 shipped this and failed its perf budget,
+    #              VERDICT r1 item 1),
     #   "mixed"  — per-block f32 partial Gram on the MXU (precision=HIGHEST)
-    #              with cross-block accumulation in solve_dtype, f32 Cholesky
-    #              + one iterative-refinement step of the posterior solve in
-    #              solve_dtype. Objective value agrees with strict to ~1e-7
-    #              relative (measured; see PRECISION.md) at ~14x the speed on
-    #              TPU v5e.
+    #              with cross-block accumulation in solve_dtype. Per-entry
+    #              error ~sqrt(block) * eps_f32 independent of n; measured
+    #              agreement with strict recorded in PRECISION.md.
     #   "auto"   — "strict" on CPU, "mixed" on accelerators.
     solve_mode: str = "auto"
 
@@ -122,6 +124,16 @@ class TrainConfig:
     c2: float = 0.9
     max_ls: int = 25
     verbose: bool = True
+    # Two-phase precision schedule ("auto" | "on" | "off"). The fast mixed
+    # objective's blockwise-f32 Gram carries ~5e-6 relative entry error;
+    # late in training cond(SIGMA) amplifies that into O(1e-2) objective
+    # jaggedness and the line search correctly stalls well above the true
+    # optimum (measured on the VC m=100 n=70k north star: mixed floors at
+    # nlml -1.86 where strict continues to descend smoothly). "auto"/"on"
+    # continue a stalled mixed run with the strict objective from the same
+    # iterate — most of the descent happens in the cheap mixed phase, and
+    # only the endgame pays the emulated-f64 Gram cost.
+    refine: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -231,34 +231,58 @@ def train(
         complete_va = bool(np.all(data_va.mask))
 
     flat0, unravel = ravel_pytree(model.last.params)
-    vg = jax.value_and_grad(
-        lambda p, d: nlog_ml(p, d, cfg, complete=complete_tr),
-        has_aux=True,
-    )
 
-    # datasets ride through minimize's `args`, NOT the closures: closed-over
-    # arrays become compiled-in constants, which bloats the program and keys
-    # the persistent compilation cache on the data bytes (any new catalog of
-    # the same shape would recompile the whole training loop).
-    def fun(flat, d_tr, *_):
-        (f, aux), g = vg(unravel(flat), d_tr)
-        return f, ravel_pytree(g)[0], aux
+    min_args = (data_tr, data_va) if has_valid else (data_tr,)
 
-    score_fn = None
-    min_args = (data_tr,)
-    if has_valid:
-        min_args = (data_tr, data_va)
+    def make_phase(cfg_phase):
+        """(fun, score_fn) for one precision phase. Datasets ride through
+        minimize's `args`, NOT the closures: closed-over arrays become
+        compiled-in constants, which bloats the program and keys the
+        persistent compilation cache on the data bytes (any new catalog of
+        the same shape would recompile the whole training loop)."""
+        vg = jax.value_and_grad(
+            lambda p, d: nlog_ml(p, d, cfg_phase, complete=complete_tr),
+            has_aux=True,
+        )
 
-        def score_fn(flat, aux, _d_tr, d_va):
-            rmse, ll = holdout_metrics(
-                unravel(flat), aux.w, d_va, cfg, complete=complete_va
-            )
-            return ll, {
-                "valid_rmse": rmse,
-                "valid_ll": ll,
-                "train_rmse": aux.train_rmse,
-                "train_ll": aux.train_ll,
-            }
+        def fun(flat, d_tr, *_):
+            (f, aux), g = vg(unravel(flat), d_tr)
+            return f, ravel_pytree(g)[0], aux
+
+        score_fn = None
+        if has_valid:
+            def score_fn(flat, aux, _d_tr, d_va):
+                rmse, ll = holdout_metrics(
+                    unravel(flat), aux.w, d_va, cfg_phase,
+                    complete=complete_va,
+                )
+                return ll, {
+                    "valid_rmse": rmse,
+                    "valid_ll": ll,
+                    "train_rmse": aux.train_rmse,
+                    "train_ll": aux.train_ll,
+                }
+
+        return fun, score_fn
+
+    def run_phase(cfg_phase, x0, budget, best_score0, x_best0):
+        fun, score_fn = make_phase(cfg_phase)
+        return minimize(
+            fun,
+            x0,
+            args=min_args,
+            history=tc.history,
+            max_iter=budget,
+            opt_tol=tc.opt_tol,
+            prog_tol=tc.prog_tol,
+            c1=tc.c1,
+            c2=tc.c2,
+            max_ls=tc.max_ls,
+            score_fn=score_fn,
+            max_attempts=tc.max_attempts,
+            init_best_score=best_score0,
+            x_best0=x_best0,
+        )
 
     profile_dir = os.environ.get("GPZ_PROFILE")
     prof_cm = (
@@ -267,28 +291,48 @@ def train(
         else contextlib.nullcontext()
     )
     with prof_cm:
-        res = minimize(
-            fun,
-            flat0,
-            args=min_args,
-            history=tc.history,
-            max_iter=tc.max_iter,
-            opt_tol=tc.opt_tol,
-            prog_tol=tc.prog_tol,
-            c1=tc.c1,
-            c2=tc.c2,
-            max_ls=tc.max_ls,
-            score_fn=score_fn,
-            max_attempts=tc.max_attempts,
-            # continuation (ref train.m:8-11): thread BOTH the previous best
-            # score and the previous best parameters, so a run that never
-            # improves keeps the old best instead of replacing it with x0
-            init_best_score=(
-                model.best.score if math.isfinite(model.best.score)
-                else -jnp.inf
-            ),
-            x_best0=ravel_pytree(model.best.params)[0],
+        # continuation (ref train.m:8-11): thread BOTH the previous best
+        # score and the previous best parameters, so a run that never
+        # improves keeps the old best instead of replacing it with x0
+        res = run_phase(
+            cfg, flat0, tc.max_iter,
+            (model.best.score if math.isfinite(model.best.score)
+             else -jnp.inf),
+            ravel_pytree(model.best.params)[0],
         )
+        phase1_iterations = int(res.iterations)
+        phase1_trace = None
+
+        # precision refinement (TrainConfig.refine): a mixed-mode run that
+        # stalled on progress with the gradient still large has hit the
+        # blockwise-f32 Gram's noise floor, NOT an optimum — continue with
+        # the strict objective from the same iterate (same L-BFGS driver,
+        # continuation semantics). See the measurement notes in
+        # objective._gram_terms and PRECISION.md.
+        from gpz_tpu.optim.lbfgs import (
+            STATUS_LS_FAILED, STATUS_NO_DESCENT, STATUS_STEP_TOO_SMALL,
+        )
+
+        stalled = int(res.status) in (
+            STATUS_STEP_TOO_SMALL, STATUS_LS_FAILED, STATUS_NO_DESCENT,
+        )
+        opt_cond_end = float(
+            np.asarray(res.trace["opt_cond"])[phase1_iterations]
+        )
+        budget_left = tc.max_iter - phase1_iterations
+        if (
+            tc.refine in ("auto", "on")
+            and cfg.resolved_solve_mode() == "mixed"
+            and stalled
+            and opt_cond_end > tc.opt_tol
+            and budget_left > 0
+        ):
+            cfg_strict = dataclasses.replace(cfg, solve_mode="strict")
+            phase1_trace = jax.tree.map(np.asarray, res.trace)
+            res = run_phase(
+                cfg_strict, res.x, budget_left,
+                res.best_score, res.x_best,
+            )
 
     def resolve(flat, score) -> ParamSet:
         params = unravel(flat)
@@ -303,13 +347,37 @@ def train(
     last = resolve(res.x, float(res.best_score) if not has_valid else -math.inf)
     best = resolve(res.x_best, float(res.best_score))
 
+    trace = jax.tree.map(np.asarray, res.trace)
+    iterations = int(res.iterations)
+    fun_evals = int(res.fun_evals)
+    if phase1_trace is not None:
+        # stitch the two phase traces: phase-2 entry 0 is the re-eval of the
+        # phase-1 final iterate under the strict objective (kept — it shows
+        # the mixed-value bias at the switch point); fevals continue from
+        # the phase-1 running count
+        it1 = phase1_iterations
+        fe1 = int(np.asarray(phase1_trace["fevals"])[it1])
+
+        def stitch(a1, a2):
+            a2 = np.asarray(a2)[: iterations + 1]
+            if a2.dtype == np.int32 and a2.ndim == 1:  # fevals counters
+                a2 = np.where(a2 >= 0, a2 + fe1, a2)
+            return np.concatenate([np.asarray(a1)[: it1 + 1], a2], axis=0)
+
+        trace = jax.tree.map(stitch, phase1_trace, trace)
+        iterations = it1 + iterations + 1  # +1: the switch-point re-eval row
+        fun_evals += fe1
+
     fit_info = {
-        "iterations": int(res.iterations),
-        "fun_evals": int(res.fun_evals),
+        "iterations": iterations,
+        "fun_evals": fun_evals,
         "status": int(res.status),
         "final_nlml": float(res.f),
+        "phase1_iterations": (
+            None if phase1_trace is None else phase1_iterations
+        ),
         "seconds": time.perf_counter() - t_start,
-        "trace": jax.tree.map(np.asarray, res.trace),
+        "trace": trace,
     }
     if tc.verbose:
         _print_trace(fit_info, has_valid)

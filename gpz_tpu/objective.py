@@ -150,25 +150,21 @@ def _gram_terms(
     A, rhs, obyy = _gram_reductions(PHI, ob, data.Y, sdt, r, mode)
     SIGMA = A + jax.vmap(jnp.diag)(alpha.T)              # (k, m, m)
 
-    if mode == "mixed" and SIGMA.dtype != PHI.dtype:
-        # factor in the compute dtype (f32 Cholesky: 1.3 ms vs 6.5 ms emulated
-        # f64 on TPU at (1,100,100)), then one iterative-refinement step of
-        # the posterior solve against the solve_dtype SIGMA — the residual
-        # matmul is an (m, m) @ (m, k), negligible even emulated.
-        cdt = PHI.dtype
-        L = safe_cholesky(SIGMA.astype(cdt))
-        logdet = 2.0 * jnp.sum(
-            jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)).astype(sdt), axis=-1
-        )
-        w0 = chol_solve(L, rhs.astype(cdt).T[..., None])[..., 0].T
-        w0 = w0.astype(sdt)                              # (m, k)
-        resid = rhs - jnp.einsum("kmj,jk->mk", SIGMA, w0)
-        dw = chol_solve(L, resid.astype(cdt).T[..., None])[..., 0].T
-        w = w0 + dw.astype(sdt)
-    else:
-        L = safe_cholesky(SIGMA)
-        logdet = chol_logdet(L)                          # (k,)
-        w = chol_solve(L, rhs.T[..., None])[..., 0].T    # (m, k)
+    # The factorization and solves always run in solve_dtype — in mixed mode
+    # the Gram is already f64 (blockwise f32 MXU partials, f64 cross-block
+    # sums), and the (k, m, m) factor is tiny (~7 ms emulated f64 on TPU at
+    # (1, 100, 100)) next to the O(n m d^2) forward. Round 2 factored in f32
+    # with one f64 iterative-refinement step; that breaks down mid-training:
+    # once cond(SIGMA) approaches 1/eps_f32 (~1e7 — alpha/beta grow as the
+    # fit sharpens), the refined w is garbage, and the objective VALUE picks
+    # up deterministic O(1e-1) discontinuities (measured on the VC m=100
+    # n=70k north-star run at iteration 6: mixed-vs-strict gradient
+    # differed by 90%, and f *increased* by 1e-2 along the true descent
+    # direction at steps of 1e-6). The line search then correctly concludes
+    # no improving step exists and training stalls at a premature nlml.
+    L = safe_cholesky(SIGMA)
+    logdet = chol_logdet(L)                          # (k,)
+    w = chol_solve(L, rhs.T[..., None])[..., 0].T    # (m, k)
     return PHI, ln_beta, beta, ob, alpha, L, logdet, w, rhs, obyy
 
 

@@ -1,0 +1,105 @@
+"""Full-suite runner: pytest in batched subprocesses.
+
+A single `pytest tests/` process segfaults on this machine inside XLA:CPU's
+`backend_compile_and_load` after ~130-140 tests (reproduced twice in round 3,
+previously at ~67 tests in round 2 — the location drifts with the test
+count). The trigger is accumulated compiled-program state in one process,
+not any individual test: every file passes standalone. Until the upstream
+XLA:CPU issue is fixed, this runner executes the suite in batches of files,
+each in a fresh interpreter, and aggregates the counts — same coverage, same
+compilation cache (conftest pins .jax_cache), bounded per-process program
+accumulation.
+
+Usage:  python run_tests.py [extra pytest args...]
+Exit code 0 iff every batch passed. Prints one summary line per batch and a
+TOTAL line; TESTS.md records the counts from consecutive runs.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import subprocess
+import sys
+import time
+
+# static per-file test counts only steer the batching — correctness does not
+# depend on them (pytest reports the real counts)
+BATCHES = [
+    ["test_checkpoint.py", "test_cli.py", "test_collective_adapt.py",
+     "test_continuation.py", "test_ensemble.py", "test_inference.py"],
+    ["test_lbfgs.py", "test_linalg.py", "test_model_2d.py"],
+    ["test_model_photoz.py", "test_model_sinc.py", "test_native.py",
+     "test_nuts.py"],
+    ["test_objective.py", "test_ops.py"],
+    ["test_phi.py"],
+    ["test_predict.py", "test_predict_cov.py", "test_sharding.py"],
+    ["test_solvers.py"],
+    ["test_tpu.py"],
+]
+
+SUMMARY_RE = re.compile(
+    r"(?:(\d+) passed)?(?:, )?(?:(\d+) failed)?(?:, )?(?:(\d+) skipped)?"
+)
+
+
+def parse_counts(out: str):
+    """(passed, failed, skipped, errors) from a pytest -q tail."""
+    passed = failed = skipped = errors = 0
+    for line in out.splitlines()[::-1]:
+        if ("passed" in line or "failed" in line or "error" in line
+                or "skipped" in line) and ("=" in line or " in " in line):
+            for n, word in re.findall(r"(\d+) (\w+)", line):
+                if word == "passed":
+                    passed = int(n)
+                elif word == "failed":
+                    failed = int(n)
+                elif word == "skipped":
+                    skipped = int(n)
+                elif word in ("error", "errors"):
+                    errors = int(n)
+            break
+    return passed, failed, skipped, errors
+
+
+def main() -> int:
+    extra = sys.argv[1:]
+    tot_p = tot_f = tot_s = tot_e = 0
+    bad_batches = []
+    t0 = time.time()
+    for batch in BATCHES:
+        files = [f"tests/{f}" for f in batch]
+        cmd = [sys.executable, "-m", "pytest", "-q", *files, *extra]
+        env = dict(os.environ)
+        if batch == ["test_tpu.py"]:
+            # let the on-silicon module see the real TPU (conftest gate);
+            # it self-skips when no TPU backend is reachable
+            env["GPZ_TPU_TESTS"] = "1"
+        r = subprocess.run(cmd, capture_output=True, text=True, env=env)
+        out = r.stdout + r.stderr
+        p, f, s, e = parse_counts(out)
+        tot_p += p
+        tot_f += f
+        tot_s += s
+        tot_e += e
+        crashed = r.returncode not in (0, 1, 5) or (
+            r.returncode != 0 and f == 0 and e == 0 and r.returncode != 5
+        )
+        label = "OK" if r.returncode == 0 or r.returncode == 5 else (
+            "CRASH" if crashed else "FAIL"
+        )
+        print(f"[{label}] {', '.join(batch)}: "
+              f"{p} passed, {f} failed, {s} skipped, {e} errors "
+              f"(rc={r.returncode})")
+        if label != "OK":
+            bad_batches.append((batch, out[-3000:]))
+    print(f"TOTAL: {tot_p} passed, {tot_f} failed, {tot_s} skipped, "
+          f"{tot_e} errors in {time.time() - t0:.0f}s "
+          f"across {len(BATCHES)} processes")
+    for batch, tail in bad_batches:
+        print(f"\n===== tail of failing batch {batch} =====\n{tail}")
+    return 0 if not bad_batches else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

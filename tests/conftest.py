@@ -13,7 +13,11 @@ os.environ["XLA_FLAGS"] = (
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# GPZ_TPU_TESTS=1 leaves the real TPU visible so tests/test_tpu.py can run
+# compiled-on-silicon checks (VERDICT r2 item 6); everything else runs on the
+# virtual CPU mesh. run_tests.py gives the TPU module its own process.
+if os.environ.get("GPZ_TPU_TESTS") != "1":
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # persistent compilation cache: the sharded/while-loop programs are expensive
