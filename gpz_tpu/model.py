@@ -232,9 +232,7 @@ def train(
 
     flat0, unravel = ravel_pytree(model.last.params)
 
-    min_args = (data_tr, data_va) if has_valid else (data_tr,)
-
-    def make_phase(cfg_phase):
+    def make_phase(cfg_phase, unravel_phase):
         """(fun, score_fn) for one precision phase. Datasets ride through
         minimize's `args`, NOT the closures: closed-over arrays become
         compiled-in constants, which bloats the program and keys the
@@ -246,14 +244,14 @@ def train(
         )
 
         def fun(flat, d_tr, *_):
-            (f, aux), g = vg(unravel(flat), d_tr)
+            (f, aux), g = vg(unravel_phase(flat), d_tr)
             return f, ravel_pytree(g)[0], aux
 
         score_fn = None
         if has_valid:
             def score_fn(flat, aux, _d_tr, d_va):
                 rmse, ll = holdout_metrics(
-                    unravel(flat), aux.w, d_va, cfg_phase,
+                    unravel_phase(flat), aux.w, d_va, cfg_phase,
                     complete=complete_va,
                 )
                 return ll, {
@@ -265,12 +263,13 @@ def train(
 
         return fun, score_fn
 
-    def run_phase(cfg_phase, x0, budget, best_score0, x_best0):
-        fun, score_fn = make_phase(cfg_phase)
+    def run_phase(cfg_phase, unravel_phase, args_phase, x0, budget,
+                  best_score0, x_best0):
+        fun, score_fn = make_phase(cfg_phase, unravel_phase)
         return minimize(
             fun,
             x0,
-            args=min_args,
+            args=args_phase,
             history=tc.history,
             max_iter=budget,
             opt_tol=tc.opt_tol,
@@ -284,6 +283,8 @@ def train(
             x_best0=x_best0,
         )
 
+    min_args = (data_tr, data_va) if has_valid else (data_tr,)
+
     profile_dir = os.environ.get("GPZ_PROFILE")
     prof_cm = (
         jax.profiler.trace(profile_dir)
@@ -295,20 +296,30 @@ def train(
         # score and the previous best parameters, so a run that never
         # improves keeps the old best instead of replacing it with x0
         res = run_phase(
-            cfg, flat0, tc.max_iter,
+            cfg, unravel, min_args, flat0, tc.max_iter,
             (model.best.score if math.isfinite(model.best.score)
              else -jnp.inf),
             ravel_pytree(model.best.params)[0],
         )
         phase1_iterations = int(res.iterations)
         phase1_trace = None
+        unravel_final = unravel
+        cfg_final = cfg
+        data_final = data_tr
 
-        # precision refinement (TrainConfig.refine): a mixed-mode run that
-        # stalled on progress with the gradient still large has hit the
-        # blockwise-f32 Gram's noise floor, NOT an optimum — continue with
-        # the strict objective from the same iterate (same L-BFGS driver,
-        # continuation semantics). See the measurement notes in
-        # objective._gram_terms and PRECISION.md.
+        # precision refinement (TrainConfig.refine): a fast-phase run that
+        # stalled on progress with the gradient still large has hit the f32
+        # pipeline's noise floor, NOT an optimum — the blockwise-f32 Gram's
+        # ~5e-6 entry error AND the f32 design matrix's own rounding get
+        # amplified by the ill-conditioned SIGMA into objective jaggedness
+        # the line search cannot descend (and AD of the jagged computed
+        # function produces spurious cliff gradients). The endgame therefore
+        # reruns FLOAT64 END TO END (params, design matrix, reductions,
+        # solve) from the same iterate — emulated on TPU, but only the final
+        # ~100-200 evals pay for it; the f32 phase has already done the bulk
+        # of the descent. Same L-BFGS driver, continuation semantics.
+        # Measurements: PRECISION.md; ref anchor: the reference pipeline is
+        # MATLAB float64 end to end.
         from gpz_tpu.optim.lbfgs import (
             STATUS_LS_FAILED, STATUS_NO_DESCENT, STATUS_STEP_TOO_SMALL,
         )
@@ -322,27 +333,56 @@ def train(
         budget_left = tc.max_iter - phase1_iterations
         if (
             tc.refine in ("auto", "on")
-            and cfg.resolved_solve_mode() == "mixed"
+            and jnp.dtype(cfg.dtype) != jnp.float64
             and stalled
             and opt_cond_end > tc.opt_tol
             and budget_left > 0
         ):
-            cfg_strict = dataclasses.replace(cfg, solve_mode="strict")
+            cfg64 = dataclasses.replace(
+                cfg, dtype="float64", solve_mode="strict",
+                solve_dtype="float64",
+            )
+            data_tr64 = _make_dataset(Xn, Yc, psi_c, omega, training,
+                                      jnp.float64)
+            args64 = (data_tr64,)
+            if has_valid:
+                args64 = (data_tr64, _make_dataset(
+                    Xn, Yc, psi_c, omega, validation, jnp.float64
+                ))
+            params64 = jax.tree.map(
+                lambda a: a.astype(jnp.float64), unravel(res.x)
+            )
+            flat64, unravel64 = ravel_pytree(params64)
+            x_best64 = ravel_pytree(jax.tree.map(
+                lambda a: a.astype(jnp.float64), unravel(res.x_best)
+            ))[0]
             phase1_trace = jax.tree.map(np.asarray, res.trace)
             res = run_phase(
-                cfg_strict, res.x, budget_left,
-                res.best_score, res.x_best,
+                cfg64, unravel64, args64, flat64, budget_left,
+                res.best_score, x_best64,
             )
+            unravel_final = unravel64
+            cfg_final = cfg64
+            data_final = data_tr64
 
     def resolve(flat, score) -> ParamSet:
-        params = unravel(flat)
+        # derived state is computed in the dtype of the phase that produced
+        # the parameters (an f64 refine phase gets an f64-accurate posterior)
+        # and stored in the model dtype so prediction keeps its fast path
+        params = unravel_final(flat)
         post = jax.jit(posterior, static_argnames=("cfg", "complete"))(
-            params, data_tr, cfg, complete=complete_tr
+            params, data_final, cfg_final, complete=complete_tr
         )
         priors = jax.jit(get_prior, static_argnames=("cfg", "complete"))(
-            params, data_tr, cfg, complete=complete_tr
+            params, data_final, cfg_final, complete=complete_tr
         )
-        return ParamSet(params=params, post=post, priors=priors, score=score)
+        cast = lambda a: jnp.asarray(a, dt)  # noqa: E731
+        return ParamSet(
+            params=jax.tree.map(cast, params),
+            post=jax.tree.map(cast, post),
+            priors=cast(priors),
+            score=score,
+        )
 
     last = resolve(res.x, float(res.best_score) if not has_valid else -math.inf)
     best = resolve(res.x_best, float(res.best_score))
