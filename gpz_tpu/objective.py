@@ -98,8 +98,11 @@ def _gram_reductions(PHI, ob, Y, sdt, r, mode: str):
     if mode == "strict":
         A = r(jnp.einsum("nm,nk,nj->kmj", PHI, ob, PHI,
                          preferred_element_type=sdt))
-        rhs = r(jnp.einsum("nm,nk->mk", PHI, ob * Y,
-                           preferred_element_type=sdt))
+        # multiply+sum, NOT a 2-arg einsum: the TPU backend's f64 dot is
+        # f32-grade (measured rel err 3.6e-8; the 3-arg form above lowers to
+        # the accurate elementwise path, measured 7e-15)
+        oy = (ob * Y).astype(sdt)
+        rhs = r(jnp.sum(PHI.astype(sdt)[:, :, None] * oy[:, None, :], axis=0))
         obyy = r(jnp.sum(ob * Y * Y, axis=0, dtype=sdt))
         return A, rhs, obyy
 

@@ -123,7 +123,10 @@ def _log_phi_full(params, cfg, X, mask, psi, complete):
     m = cfg.m
     fmask = mask.astype(X.dtype)
 
-    iSig = jnp.einsum("mij,mik->mjk", G, G)  # Gamma^T Gamma (getPHI.m:73)
+    # Gamma^T Gamma (getPHI.m:73) as multiply+sum: tiny-axis einsum
+    # contractions compile pathologically on XLA:TPU, and the backend's f64
+    # dot is f32-grade (see design_matrix note)
+    iSig = jnp.sum(G[:, :, :, None] * G[:, :, None, :], axis=1)  # (m, d, d)
 
     if complete and psi is None:
         # quad = |Gamma Delta|^2 — no inverse needed at all (multiply+sum,
@@ -143,7 +146,8 @@ def _log_phi_full(params, cfg, X, mask, psi, complete):
     logdet_Sigma = -chol_logdet(L_iSig)      # (m,)
     eye = jnp.broadcast_to(jnp.eye(d, dtype=X.dtype), (m, d, d))
     Linv = jax.scipy.linalg.solve_triangular(L_iSig, eye, lower=True)
-    Sigma = jnp.einsum("mki,mkj->mij", Linv, Linv)  # (m, d, d)
+    # Linv^T Linv, multiply+sum for the same reasons as iSig above
+    Sigma = jnp.sum(Linv[:, :, :, None] * Linv[:, :, None, :], axis=1)
 
     # fused Pallas kernel for the hot complete+psi case (TPU, f32, small d):
     # everything stays in VMEM instead of materializing (n, m, d, d) in HBM
@@ -236,5 +240,15 @@ def design_matrix(
     PHI = jnp.exp(ln_phi)
     ln_beta_i = jnp.broadcast_to(params.b[None, :], (X.shape[0], cfg.k))
     if params.heteroscedastic:
-        ln_beta_i = ln_beta_i + PHI @ params.v
+        if jnp.dtype(PHI.dtype) == jnp.float64:
+            # the TPU backend's f64 dot is f32-grade (measured rel err
+            # 3.6e-8 vs 1e-14 for elementwise emulated-f64 ops) — jagged
+            # lnBeta at that level, kappa-amplified through the Gram, is
+            # what destabilized the f64 endgame. multiply+sum stays on the
+            # accurate VPU path; identical on CPU.
+            ln_beta_i = ln_beta_i + jnp.sum(
+                PHI[:, :, None] * params.v[None, :, :], axis=1
+            )
+        else:
+            ln_beta_i = ln_beta_i + PHI @ params.v
     return PHI, ln_n, ln_beta_i
