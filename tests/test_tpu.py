@@ -167,7 +167,6 @@ def test_predict_small_with_missing_pattern():
     assert np.all(pred.sigma > 0)
 
 
-@pytest.mark.slow
 def test_predict_m1000_noisy_missing():
     """The north-star scale config that crashed the TPU worker in round 2
     (BASELINE.json configs[4]; VERDICT r2 weak #6): VC m=1000,
