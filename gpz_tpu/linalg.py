@@ -86,6 +86,60 @@ def solve_psd(A: jax.Array, B: jax.Array):
     return chol_solve(L, B), chol_logdet(L)
 
 
+@jax.custom_vjp
+def solve_w_logdet(SIGMA: jax.Array, rhs: jax.Array):
+    """(w, logdet) for the batched PSD system SIGMA_k w_k = rhs_k.
+
+    SIGMA (k, m, m); rhs (m, k). Returns w (m, k), logdet (k,).
+
+    Exists for its VJP: reverse-mode AD through cholesky / triangular-solve
+    lowers to plain f64 matmuls inside the decomposition VJP rules, and the
+    TPU backend computes those at float32 accuracy (PRECISION.md §3) — the
+    resulting gradient jag, kappa-amplified late in training, stalled the
+    f64 refine phase at iteration ~9 with the objective still descending.
+    The closed-form cotangents below use ONLY triangular solves and
+    elementwise outer products (both true f64 on this backend):
+
+        dw/d(rhs)   ^T c = SIGMA^-1 c
+        dw/d(SIGMA) ^T c = -sym_outer(SIGMA^-1 c, w)
+        dlogdet/dSIGMA   = SIGMA^-1
+    """
+    w, logdet, _ = _solve_w_logdet_fwd_impl(SIGMA, rhs)
+    return w, logdet
+
+
+def _solve_w_logdet_fwd_impl(SIGMA, rhs):
+    L = safe_cholesky(SIGMA)
+    w = chol_solve(L, jnp.swapaxes(rhs, 0, 1)[..., None])[..., 0]  # (k, m)
+    return jnp.swapaxes(w, 0, 1), chol_logdet(L), L
+
+
+def _solve_w_logdet_fwd(SIGMA, rhs):
+    w, logdet, L = _solve_w_logdet_fwd_impl(SIGMA, rhs)
+    return (w, logdet), (L, w)
+
+
+def _solve_w_logdet_bwd(res, cts):
+    L, w = res
+    w_ct, logdet_ct = cts                     # (m, k), (k,)
+    m = L.shape[-1]
+    # SIGMA^-1 w_ct via triangular solves (no matmul)
+    siw = chol_solve(L, jnp.swapaxes(w_ct, 0, 1)[..., None])[..., 0]  # (k, m)
+    rhs_ct = jnp.swapaxes(siw, 0, 1)                                  # (m, k)
+    wk = jnp.swapaxes(w, 0, 1)                                        # (k, m)
+    # -(SIGMA^-1 c) w' — SIGMA is symmetric, so the cotangent is the
+    # symmetrized outer product (elementwise broadcast, exact in f64)
+    outer = siw[..., :, None] * wk[..., None, :]                      # (k,m,m)
+    SIGMA_ct = -0.5 * (outer + jnp.swapaxes(outer, -1, -2))
+    eye = jnp.broadcast_to(jnp.eye(m, dtype=L.dtype), L.shape)
+    SIGMA_inv = chol_solve(L, eye)
+    SIGMA_ct = SIGMA_ct + logdet_ct[..., None, None] * SIGMA_inv
+    return SIGMA_ct, rhs_ct
+
+
+solve_w_logdet.defvjp(_solve_w_logdet_fwd, _solve_w_logdet_bwd)
+
+
 def inv_logdet_psd(A: jax.Array):
     """(A^-1, log|A|) for PSD A — the role of ref GPz/inv_logdet.m."""
     L = safe_cholesky(A)

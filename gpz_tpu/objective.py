@@ -39,7 +39,9 @@ from gpz_tpu.config import ModelConfig
 from gpz_tpu.dataset import Dataset
 from gpz_tpu.params import GPzParams
 from gpz_tpu.phi import design_matrix
-from gpz_tpu.linalg import safe_cholesky, chol_logdet, chol_solve
+from gpz_tpu.linalg import (
+    safe_cholesky, chol_logdet, chol_solve, solve_w_logdet,
+)
 
 _LN2PI = math.log(2.0 * math.pi)
 
@@ -165,10 +167,13 @@ def _gram_terms(
     # differed by 90%, and f *increased* by 1e-2 along the true descent
     # direction at steps of 1e-6). The line search then correctly concludes
     # no improving step exists and training stalls at a premature nlml.
-    L = safe_cholesky(SIGMA)
-    logdet = chol_logdet(L)                          # (k,)
-    w = chol_solve(L, rhs.T[..., None])[..., 0].T    # (m, k)
-    return PHI, ln_beta, beta, ob, alpha, L, logdet, w, rhs, obyy
+    # solve_w_logdet carries a custom VJP built from triangular solves and
+    # outer products only: the stock cholesky/solve VJP rules emit plain f64
+    # matmuls, which this TPU backend computes at f32 accuracy
+    # (PRECISION.md §3) — gradient jag that stalled the f64 endgame at
+    # iteration ~9 with the objective still descending.
+    w, logdet = solve_w_logdet(SIGMA, rhs)           # (m, k), (k,)
+    return PHI, ln_beta, beta, ob, alpha, SIGMA, logdet, w, rhs, obyy
 
 
 def nlog_ml(
@@ -196,7 +201,7 @@ def nlog_ml(
         n_eff = n_eff.astype(sdt)
     r = _reducer(axis_name)
     k = cfg.k
-    PHI, ln_beta, beta, ob, alpha, L, logdet, w, rhs, obyy = _gram_terms(
+    PHI, ln_beta, beta, ob, alpha, _, logdet, w, rhs, obyy = _gram_terms(
         params, cfg, data, complete, axis_name
     )
     # Every scalar evidence term accumulates in solve_dtype (f32 sums over n
@@ -266,12 +271,12 @@ def posterior(
 ) -> Posterior:
     """Posterior weights + full Gram inverse (the reference's "weights-only"
     nargout trick, GPz.m:84-87, made an explicit function per SURVEY §3.4)."""
-    _, _, _, _, _, L, logdet, w, _, _ = _gram_terms(
+    _, _, _, _, _, SIGMA, logdet, w, _, _ = _gram_terms(
         params, cfg, data, complete, axis_name
     )
     m = cfg.m
-    eye = jnp.broadcast_to(jnp.eye(m, dtype=L.dtype), (cfg.k, m, m))
-    iSigma_w = chol_solve(L, eye)
+    eye = jnp.broadcast_to(jnp.eye(m, dtype=SIGMA.dtype), (cfg.k, m, m))
+    iSigma_w = chol_solve(safe_cholesky(SIGMA), eye)
     # stored posterior state feeds the (f32, Pallas-tiled) prediction stack —
     # cast back to the compute dtype
     dt = jnp.dtype(cfg.dtype)

@@ -125,3 +125,39 @@ def test_pca_whiten_roundtrip(rng):
     np.testing.assert_allclose(C, np.eye(4) * C[0, 0], atol=0.15)
     # Ti inverts T
     np.testing.assert_allclose(T @ Ti, np.eye(4), atol=1e-8)
+
+
+def test_solve_w_logdet_custom_vjp_matches_ad():
+    """solve_w_logdet's closed-form cotangents (triangular solves + outer
+    products; PRECISION.md §3) must equal AD through the stock
+    cholesky/solve path — exact on CPU, where the stock VJP is accurate."""
+    import jax
+    import jax.numpy as jnp
+
+    from gpz_tpu.linalg import solve_w_logdet, safe_cholesky, chol_solve, \
+        chol_logdet
+
+    rng = np.random.default_rng(7)
+    k, m = 2, 12
+    A = rng.standard_normal((k, m, 3 * m))
+    SIGMA = jnp.asarray(A @ np.swapaxes(A, 1, 2) / m + 1e-3 * np.eye(m))
+    rhs = jnp.asarray(rng.standard_normal((m, k)))
+
+    def loss_custom(S, r):
+        w, ld = solve_w_logdet(S, r)
+        return jnp.sum(jnp.sin(w)) + jnp.sum(ld * jnp.asarray([0.7, -1.3]))
+
+    def loss_stock(S, r):
+        L = safe_cholesky(S)
+        w = chol_solve(L, jnp.swapaxes(r, 0, 1)[..., None])[..., 0].T
+        ld = chol_logdet(L)
+        return jnp.sum(jnp.sin(w)) + jnp.sum(ld * jnp.asarray([0.7, -1.3]))
+
+    v1 = float(loss_custom(SIGMA, rhs))
+    v2 = float(loss_stock(SIGMA, rhs))
+    np.testing.assert_allclose(v1, v2, rtol=1e-12)
+    g1 = jax.grad(loss_custom, argnums=(0, 1))(SIGMA, rhs)
+    g2 = jax.grad(loss_stock, argnums=(0, 1))(SIGMA, rhs)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-12)
