@@ -167,7 +167,14 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="only the small CI config")
     ap.add_argument("--skip-reference", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (leave the TPU alone)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     names = (["sinc_VL_m50_small"] if args.quick else list(CONFIGS))
     table = {}
@@ -195,9 +202,10 @@ def main():
         ref, sh = entry.get("reference"), entry.get("shipped")
         if not ref or not sh:
             continue
-        if sh["rmse"] > ref["rmse"] * (1 + TOLERANCES["rmse"]):
+        # NaN must read as a violation (NaN comparisons are silently False)
+        if not (sh["rmse"] <= ref["rmse"] * (1 + TOLERANCES["rmse"])):
             bad.append((name, "rmse", sh["rmse"], ref["rmse"]))
-        if sh["mll"] < ref["mll"] - TOLERANCES["mll"]:
+        if not (sh["mll"] >= ref["mll"] - TOLERANCES["mll"]):
             bad.append((name, "mll", sh["mll"], ref["mll"]))
     for b in bad:
         print("PARITY VIOLATION:", b)

@@ -34,7 +34,7 @@ BATCHES = [
     ["test_objective.py", "test_ops.py"],
     ["test_phi.py"],
     ["test_predict.py", "test_predict_cov.py", "test_sharding.py"],
-    ["test_solvers.py"],
+    ["test_solvers.py", "test_parity_numbers.py"],
     ["test_tpu.py"],
 ]
 
