@@ -569,6 +569,13 @@ def predict(
             out["gamma"][idx] = np.asarray(ga)
             out["phi"][idx] = np.asarray(phi)
 
+    # gamma = E[(phi'w)^2] - (E[phi'w])^2 >= 0 mathematically, but the f32
+    # moment-matched difference can come out epsilon-negative; nu likewise
+    # via the iSigma_w quadratic form. Clamp at zero so sigma stays a valid
+    # variance (the reference's f64 pipeline makes these negatives
+    # vanishingly small instead; sigma = nu+beta_i+gamma, predict.m:72)
+    out["gamma"] = np.maximum(out["gamma"], 0.0)
+    out["nu"] = np.maximum(out["nu"], 0.0)
     sigma = out["nu"] + out["beta_i"] + out["gamma"]
     mu = out["mu"] + model.muY[None, :]
     return Prediction(

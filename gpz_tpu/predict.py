@@ -46,6 +46,18 @@ def _v_or_zero(params: GPzParams, cfg: ModelConfig):
     return jnp.zeros((cfg.m, cfg.k), dtype=params.P.dtype)
 
 
+def _log_priors(priors):
+    """log prior with a floor at the dtype's tiny.
+
+    The EM fixed point (ref getPrior.m) legitimately collapses most bases
+    to prior ~0 on trained models; in f32 those underflow to exactly 0 and
+    log gives -inf. A -inf logit is harmless in softmax unless a row has
+    no finite entry at all, so floor at tiny (log ~ -87/-708) to keep the
+    responsibilities defined everywhere."""
+    tiny = jnp.finfo(priors.dtype).tiny
+    return jnp.log(jnp.maximum(priors, tiny))
+
+
 #: element budget for the pair-pass intermediates (env GPZ_PAIR_BUDGET).
 #: The O(n m^2) moment-matching pass is tiled over blocks of basis index i so
 #: the peak live intermediate is (n, B, m, d_cost) elements with
@@ -144,7 +156,7 @@ def predict_moments_diag(params, post, priors, cfg: ModelConfig, X,
         PHI = jnp.exp(lnz[None, :] + lnNo)
         Pio = None
     else:
-        logits = lnNo + jnp.log(priors)[None, :]
+        logits = lnNo + _log_priors(priors)[None, :]
         Pio = jax.nn.softmax(logits, axis=1)               # (n, m)
         # Nij over unobserved dims (predictDiag.m:160)
         Sij = Sigma[:, None, :] + Sigma[None, :, :]        # (m, m, d)
@@ -292,16 +304,29 @@ def predict_moments_full(params, post, priors, cfg: ModelConfig, X,
         Psi_hat = jnp.broadcast_to(psi[:, None], (n, m, d, d))
         PHI = jnp.exp(lnz)[None, :] * jnp.exp(lnNo)
     else:
-        logits = lnNo + jnp.log(priors)[None, :]
+        logits = lnNo + _log_priors(priors)[None, :]
         Pio = jax.nn.softmax(logits, axis=1)                   # (n, m)
 
-        # conditional imputation per basis (predictCov.m:169-174)
-        A = masked_psd(Sigma, jnp.broadcast_to(mask_vec, (m, d)))  # (m, d, d)
-        Ainv, _ = unrolled_inv_psd(A)
-        AiM = Ainv * om[None, None, :]                             # A^-1 M
-        J = jnp.einsum("mij,mjk->mik", Sigma, AiM)                 # (m, d, d)
+        # conditional imputation per basis (predictCov.m:169-174), in
+        # PRECISION form: the covariance form cond_cov = Sigma - J Sigma
+        # is a catastrophic cancellation at trained models' covariance
+        # scales (Sigma eigenvalues ~1e9 in f32 -> indefinite cond_cov,
+        # NaN logdets downstream). Instead
+        #   cond_cov = inv(iSig_uu)  (embedded on the unobserved block)
+        #   J = M - cond_cov iSig M  (so J_oo = I,
+        #                             J_uo = -inv(iSig_uu) iSig_uo
+        #                                  = Sigma_uo Sigma_oo^-1)
+        # -- same math, no subtraction of large equals, PSD by construction.
+        um = 1.0 - om
+        Buu = masked_psd(
+            iSig, jnp.broadcast_to(~mask_vec.astype(bool), (m, d))
+        )
+        Binv, _ = unrolled_inv_psd(Buu)
+        cond_cov = Binv * (um[None, :, None] * um[None, None, :])
+        J = M[None] - (
+            jnp.einsum("mij,mjk->mik", cond_cov, iSig) * om[None, None, :]
+        )
         X_hat = P[None, :, :] + jnp.einsum("mij,nmj->nmi", J, Delta)
-        cond_cov = Sigma - jnp.einsum("mij,mjk->mik", J, Sigma)    # (m, d, d)
         Psi_hat = (
             jnp.einsum("mij,njk,mlk->nmil", J, psi, J) + cond_cov[None]
         )                                                          # (n, m, d, d)

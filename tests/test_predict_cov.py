@@ -1,7 +1,10 @@
 """Full-covariance prediction with missing data: loopy port-of-record parity
 (ref predictCov.m:134-232 predictMissing and 233-337 predictNoisyMissing)."""
 
+import dataclasses
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -142,3 +145,41 @@ def test_missing_cov_vs_loopy_reference(rng, with_psi):
         np.testing.assert_allclose(
             np.asarray(g), e, rtol=1e-6, atol=1e-9, err_msg=name
         )
+
+
+def test_missing_cov_finite_at_trained_scales(rng):
+    """Regression: trained VC models reach Sigma eigenvalues ~1e9 in f32;
+    the covariance-form conditional cov (Sigma - J Sigma) cancels
+    catastrophically there (indefinite matrices -> NaN logdets -> all-NaN
+    predictions). The precision-form path must stay finite. Collapsed EM
+    priors (exact zeros) ride along — log(0) must not NaN the softmax."""
+    n, d, m, k = 7, 4, 6, 1
+    cfg = ModelConfig(m=m, d=d, k=k, method="VC", dtype="float32")
+    params = make_params(rng, cfg)
+    # scale gamma down so Sigma = inv(G'G) has huge eigenvalues (~1e8-1e10)
+    params = dataclasses.replace(
+        params, gamma=params.gamma * np.float32(1e-4)
+    )
+    params = jax.tree.map(
+        lambda a: jnp.asarray(np.asarray(a, np.float32)), params
+    )
+    post = make_post(rng, m, k)
+    post = jax.tree.map(
+        lambda a: jnp.asarray(np.asarray(a, np.float32)), post
+    )
+    priors = np.zeros(m, np.float32)
+    priors[1] = 0.99
+    priors[4] = 0.01
+
+    X = np.float32(rng.standard_normal((n, d)))
+    psi = np.zeros((n, d, d), np.float32)
+    psi[:, np.arange(d), np.arange(d)] = 0.05
+    mask_vec = jnp.asarray([1.0, 1.0, 0.0, 1.0], jnp.float32)
+    Xz = X * np.asarray([1, 1, 0, 1], np.float32)
+
+    out = predict_moments_full(
+        params, post, jnp.asarray(priors), cfg, jnp.asarray(Xz), mask_vec,
+        jnp.asarray(psi), False,
+    )
+    for a, name in zip(out, ["mu", "nu", "beta_i", "gamma", "phi"]):
+        assert np.isfinite(np.asarray(a)).all(), name
