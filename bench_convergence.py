@@ -101,6 +101,8 @@ def summarize(model, seconds, label):
         "converged": status in CONVERGED_STATUSES,
         "seconds_total": round(seconds, 2),
         "train_seconds": round(model.fit_info["seconds"], 2),
+        "phase_seconds": model.fit_info.get("phase_seconds"),
+        "phase1_iterations": model.fit_info.get("phase1_iterations"),
     }
     return out, f, fev
 

@@ -140,6 +140,135 @@ def _solve_w_logdet_bwd(res, cts):
 solve_w_logdet.defvjp(_solve_w_logdet_fwd, _solve_w_logdet_bwd)
 
 
+# ---------------------------------------------------------------------------
+# fast mixed-mode solve: f32 factor + exact-residual iterative refinement
+# ---------------------------------------------------------------------------
+#
+# The TPU backend emulates f64: a (100, 100) f64 Cholesky costs 5.5 ms vs
+# 0.16 ms in f32 (measured; ~30% of the whole mixed objective eval). The
+# mixed phase therefore solves through an f32 factor of the Jacobi-
+# equilibrated Gram C = D^-1 SIGMA D^-1 (unit diagonal — GPz's wildly
+# varying alpha/beta diagonal is most of cond(SIGMA), measured 8.5e8 at
+# iteration 60 of the north-star run), refined back to ~f64 accuracy by
+# iterative refinement whose residuals are computed with Ozaki slice
+# products (ops/ozaki.py — an f64 dot here would be f32-grade and IR would
+# stagnate at kappa * 3.6e-8). Each IR step contracts the error by
+# ~kappa(C) * eps_f32; three steps reach ~1e-9 for kappa(C) up to ~1e5.
+# If the final residual says otherwise (kappa(C) too large, or a non-finite
+# trial point), a lax.cond falls back to the strict f64 factorization at
+# runtime, so the fast path never silently degrades the objective.
+# logdet comes from the f32 factor of C plus the exact f64 equilibration
+# term sum(log diag): absolute error ~1e-4, i.e. ~1e-9 in the per-sample
+# nlml at n=70k — at the mixed phase's progress tolerance, below its f32
+# design-matrix error floor.
+
+
+def _exact_mm_sym(C, Y):
+    """C (k, m, m) symmetric f64 @ Y (k, m, r) f64, per-k Ozaki products."""
+    from gpz_tpu.ops.ozaki import ozaki_tn
+
+    return jnp.stack([ozaki_tn(C[i], Y[i]) for i in range(C.shape[0])])
+
+
+def _ir_solve(L32, C, B, steps=3, final_residual=False):
+    """Solve C y = B through the f32 factor L32 with f64 refinement.
+
+    Returns (y, max|B - C y|) — the residual is 0.0 when not requested.
+    """
+    y = chol_solve(L32, B.astype(jnp.float32)).astype(jnp.float64)
+    for _ in range(steps):
+        r = B - _exact_mm_sym(C, y)
+        y = y + chol_solve(L32, r.astype(jnp.float32)).astype(jnp.float64)
+    if not final_residual:
+        return y, jnp.zeros((), jnp.float64)
+    r = B - _exact_mm_sym(C, y)
+    return y, jnp.max(jnp.abs(r))
+
+
+def _equilibrate(SIGMA):
+    dg = jnp.diagonal(SIGMA, axis1=-2, axis2=-1)              # (k, m)
+    di = 1.0 / jnp.sqrt(dg)
+    C = SIGMA * di[:, :, None] * di[:, None, :]
+    return C, di, dg
+
+
+def _fast_fwd_impl(SIGMA, rhs):
+    C, di, dg = _equilibrate(SIGMA)
+    L32 = safe_cholesky(C.astype(jnp.float32))
+    logdet = (
+        2.0 * jnp.sum(
+            jnp.log(jnp.diagonal(L32, axis1=-2, axis2=-1).astype(
+                jnp.float64)), axis=-1)
+        + jnp.sum(jnp.log(dg), axis=-1)
+    )
+    b = (jnp.swapaxes(rhs, 0, 1) * di)[..., None]             # (k, m, 1)
+    y, resid = _ir_solve(L32, C, b, final_residual=True)
+    ok = (
+        (resid <= 1e-9 * (jnp.max(jnp.abs(b)) + 1e-300))
+        & jnp.all(jnp.isfinite(y))
+        & jnp.all(jnp.isfinite(logdet))
+    )
+    w = jnp.swapaxes(y[..., 0] * di, 0, 1)                    # (m, k)
+    return w, logdet, ok, L32, C, di
+
+
+@jax.custom_vjp
+def fast_solve_w_logdet(SIGMA, rhs):
+    """solve_w_logdet through an equilibrated f32 factor + exact-residual
+    refinement, with a runtime fallback to the strict f64 path (see the
+    section comment above). Drop-in: SIGMA (k, m, m), rhs (m, k) — returns
+    (w (m, k), logdet (k,)) at ~f64 accuracy for ~7x less solve time."""
+    w, logdet, ok, _, _, _ = _fast_fwd_impl(SIGMA, rhs)
+    return jax.lax.cond(
+        ok,
+        lambda: (w, logdet),
+        lambda: _solve_w_logdet_fwd_impl(SIGMA, rhs)[:2],
+    )
+
+
+def _fast_solve_fwd(SIGMA, rhs):
+    w, logdet, ok, L32, C, di = _fast_fwd_impl(SIGMA, rhs)
+    w, logdet = jax.lax.cond(
+        ok,
+        lambda: (w, logdet),
+        lambda: _solve_w_logdet_fwd_impl(SIGMA, rhs)[:2],
+    )
+    return (w, logdet), (SIGMA, L32, C, di, w, ok)
+
+
+def _fast_solve_bwd(res, cts):
+    SIGMA, L32, C, di, w, ok = res
+    w_ct, logdet_ct = cts                                     # (m, k), (k,)
+    m = SIGMA.shape[-1]
+
+    def fast():
+        bc = (jnp.swapaxes(w_ct, 0, 1) * di)[..., None]       # (k, m, 1)
+        u, _ = _ir_solve(L32, C, bc)
+        siw = u[..., 0] * di                                  # (k, m)
+        eye = jnp.broadcast_to(
+            jnp.eye(m, dtype=jnp.float64), C.shape)
+        Cinv, _ = _ir_solve(L32, C, eye)
+        Sinv = Cinv * di[:, :, None] * di[:, None, :]
+        return siw, Sinv
+
+    def strict():
+        L = safe_cholesky(SIGMA)
+        siw = chol_solve(L, jnp.swapaxes(w_ct, 0, 1)[..., None])[..., 0]
+        eye = jnp.broadcast_to(jnp.eye(m, dtype=L.dtype), L.shape)
+        return siw, chol_solve(L, eye)
+
+    siw, Sinv = jax.lax.cond(ok, fast, strict)
+    rhs_ct = jnp.swapaxes(siw, 0, 1)
+    wk = jnp.swapaxes(w, 0, 1)
+    outer = siw[..., :, None] * wk[..., None, :]              # (k, m, m)
+    SIGMA_ct = -0.5 * (outer + jnp.swapaxes(outer, -1, -2))
+    SIGMA_ct = SIGMA_ct + logdet_ct[..., None, None] * Sinv
+    return SIGMA_ct, rhs_ct
+
+
+fast_solve_w_logdet.defvjp(_fast_solve_fwd, _fast_solve_bwd)
+
+
 def inv_logdet_psd(A: jax.Array):
     """(A^-1, log|A|) for PSD A — the role of ref GPz/inv_logdet.m."""
     L = safe_cholesky(A)

@@ -295,12 +295,14 @@ def train(
         # continuation (ref train.m:8-11): thread BOTH the previous best
         # score and the previous best parameters, so a run that never
         # improves keeps the old best instead of replacing it with x0
+        t_phase = time.perf_counter()
         res = run_phase(
             cfg, unravel, min_args, flat0, tc.max_iter,
             (model.best.score if math.isfinite(model.best.score)
              else -jnp.inf),
             ravel_pytree(model.best.params)[0],
         )
+        phase_seconds = [round(time.perf_counter() - t_phase, 2)]
         phase1_iterations = int(res.iterations)
         phase1_trace = None
         unravel_final = unravel
@@ -357,10 +359,12 @@ def train(
                 lambda a: a.astype(jnp.float64), unravel(res.x_best)
             ))[0]
             phase1_trace = jax.tree.map(np.asarray, res.trace)
+            t_phase = time.perf_counter()
             res = run_phase(
                 cfg64, unravel64, args64, flat64, budget_left,
                 res.best_score, x_best64,
             )
+            phase_seconds.append(round(time.perf_counter() - t_phase, 2))
             unravel_final = unravel64
             cfg_final = cfg64
             data_final = data_tr64
@@ -416,6 +420,7 @@ def train(
         "phase1_iterations": (
             None if phase1_trace is None else phase1_iterations
         ),
+        "phase_seconds": phase_seconds,
         "seconds": time.perf_counter() - t_start,
         "trace": trace,
     }

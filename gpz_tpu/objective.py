@@ -41,7 +41,9 @@ from gpz_tpu.params import GPzParams
 from gpz_tpu.phi import design_matrix
 from gpz_tpu.linalg import (
     safe_cholesky, chol_logdet, chol_solve, solve_w_logdet,
+    fast_solve_w_logdet,
 )
+from gpz_tpu.ops.ozaki import ozaki_gram, ozaki_tn
 
 _LN2PI = math.log(2.0 * math.pi)
 
@@ -84,6 +86,17 @@ import os as _os
 GRAM_BLOCK = int(_os.environ.get("GPZ_GRAM_BLOCK", "8192"))
 
 
+def _ozaki_active() -> bool:
+    """Use the exact-MXU Gram path (ops/ozaki.py)? Default: every non-CPU
+    backend (CPU's native f64 dot is already exact AND faster than slice
+    products there). Env GPZ_OZAKI=1/0 forces it either way (tests force 1
+    on the CPU backend to exercise the shipped-TPU code path)."""
+    env = _os.environ.get("GPZ_OZAKI")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() != "cpu"
+
+
 def _gram_reductions(PHI, ob, Y, sdt, r, mode: str):
     """The three n-reductions of the objective — Gram A, rhs, sum ob*y^2 —
     in solve_dtype (ref GPz.m:63-75; psum boundary of the n-sharded path).
@@ -97,6 +110,27 @@ def _gram_reductions(PHI, ob, Y, sdt, r, mode: str):
     / 1.6 ms grad at the same shape). Entry-level error ~sqrt(B)*eps_f32,
     independent of n.
     """
+    if _ozaki_active():
+        # Ozaki-scheme exact contractions on the bf16 MXU (ops/ozaki.py):
+        # the backend's f64 dot — and the 3-arg einsum, and any
+        # multiply+sum XLA rewrites into a dot — is f32-grade (measured
+        # 2.5e-7 on this Gram at n=70k; PRECISION.md §3-4), which
+        # cond(SIGMA)~1e9 amplifies into O(1e-2) objective jag late in
+        # training. strict: f64 factors, Gram exact to ~1e-14 and 11x
+        # faster than the einsum it replaces. mixed: f32 factors, the
+        # Gram is exact *given the f32 design matrix* — the error floor
+        # drops from ~5e-6 (blockwise f32 accumulation) to PHI's own
+        # ~6e-8 rounding.
+        ft = sdt if mode == "strict" else PHI.dtype
+        P = PHI.astype(ft)
+        obf = ob.astype(ft)
+        k = ob.shape[1]
+        sq = jnp.sqrt(obf)
+        A = jnp.stack([ozaki_gram(P * sq[:, kk:kk + 1]) for kk in range(k)])
+        rhs = ozaki_tn(P, obf * Y.astype(ft))
+        obyy = jnp.sum((ob * Y * Y).astype(sdt), axis=0)
+        return r(A.astype(sdt)), r(rhs.astype(sdt)), r(obyy)
+
     if mode == "strict":
         A = r(jnp.einsum("nm,nk,nj->kmj", PHI, ob, PHI,
                          preferred_element_type=sdt))
@@ -172,7 +206,15 @@ def _gram_terms(
     # matmuls, which this TPU backend computes at f32 accuracy
     # (PRECISION.md §3) — gradient jag that stalled the f64 endgame at
     # iteration ~9 with the objective still descending.
-    w, logdet = solve_w_logdet(SIGMA, rhs)           # (m, k), (k,)
+    if mode == "mixed" and _ozaki_active():
+        # mixed phase on an emulated-f64 backend: a (100,100) f64 Cholesky
+        # costs 5.5 ms (vs 0.16 f32) — ~30% of the whole eval. Equilibrated
+        # f32 factor + Ozaki-exact iterative refinement reaches the same
+        # ~f64 solve accuracy with a runtime fallback to the strict factor
+        # when cond(C) defeats refinement (linalg.fast_solve_w_logdet).
+        w, logdet = fast_solve_w_logdet(SIGMA, rhs)
+    else:
+        w, logdet = solve_w_logdet(SIGMA, rhs)       # (m, k), (k,)
     return PHI, ln_beta, beta, ob, alpha, SIGMA, logdet, w, rhs, obyy
 
 
