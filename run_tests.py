@@ -31,7 +31,7 @@ BATCHES = [
     ["test_lbfgs.py", "test_linalg.py", "test_model_2d.py"],
     ["test_model_photoz.py", "test_model_sinc.py", "test_native.py",
      "test_nuts.py"],
-    ["test_objective.py", "test_ops.py"],
+    ["test_objective.py", "test_ops.py", "test_ozaki.py"],
     ["test_phi.py"],
     ["test_predict.py", "test_predict_cov.py", "test_sharding.py"],
     ["test_solvers.py", "test_parity_numbers.py"],
