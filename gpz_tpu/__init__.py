@@ -45,7 +45,12 @@ if _os.environ.get("GPZ_NO_CACHE") != "1":  # pragma: no branch
         _os.makedirs(_cache, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache)
         _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # only cache multi-second compiles: on remote-compile backends
+        # (axon tunnel) a cache READ of a small program costs ~3 s
+        # (transfer + backend deserialize) while recompiling it takes
+        # ~0.4 s — the cache only pays for the multi-minute training
+        # while_loop executables (measured round 3; see PRECISION.md)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except (OSError, AttributeError):  # pragma: no cover
         pass
 

@@ -397,13 +397,6 @@ class _OptState(NamedTuple):
     trace: dict
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "fun", "score_fn", "history", "max_iter", "max_attempts", "max_ls",
-        "record_len",
-    ),
-)
 def minimize(
     fun: Callable,
     x0: jax.Array,
@@ -435,10 +428,42 @@ def minimize(
     program as constants, which bloats it and makes the persistent
     compilation cache key depend on the data bytes — with `args`, any
     same-shaped dataset reuses the compiled optimizer.
+
+    `max_iter` / `max_attempts` are DYNAMIC operands of one compiled
+    program, not compile-time constants: the trace buffers are sized by
+    `record_len`, which defaults to `max_iter + 1` rounded up to a
+    multiple of 64 — so every iteration budget up to the bucket boundary
+    (and in particular the refine phase's data-dependent remaining budget,
+    model.py train) reuses the same multi-minute TPU executable from the
+    persistent compilation cache instead of recompiling it per budget.
     """
+    if record_len is None:
+        record_len = -(-(int(max_iter) + 1) // 64) * 64
+    elif max_iter + 1 > record_len:
+        raise ValueError(
+            f"record_len={record_len} cannot hold max_iter={max_iter} + 1 "
+            "trace rows"
+        )
+    return _minimize(
+        fun, x0, args, history,
+        max_iter,
+        opt_tol, prog_tol, c1, c2, max_ls, score_fn,
+        2**31 - 1 if max_attempts is None else int(max_attempts),
+        init_best_score, x_best0, record_len,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("fun", "score_fn", "history", "max_ls", "record_len"),
+)
+def _minimize(
+    fun, x0, args, history, max_iter, opt_tol, prog_tol, c1, c2, max_ls,
+    score_fn, max_attempts, init_best_score, x_best0, record_len,
+) -> MinimizeResult:
     p = x0.shape[0]
     dtype = x0.dtype
-    record_len = record_len or (max_iter + 1)
+    max_iter = jnp.asarray(max_iter, jnp.int32)
 
     user_fun, user_score = fun, score_fn
     fun = lambda x: user_fun(x, *args)          # noqa: E731
@@ -460,10 +485,7 @@ def minimize(
     if x_best0 is None:
         x_best0 = x0
 
-    no_attempt_limit = max_attempts is None
-    attempts_cap = jnp.asarray(
-        2**31 - 1 if no_attempt_limit else max_attempts, jnp.int32
-    )
+    attempts_cap = jnp.asarray(max_attempts, jnp.int32)
 
     # trace arrays live in the dtype of the quantity they record (f/score are
     # solve_dtype scalars; a parameter-dtype (f32) buffer would silently
