@@ -107,13 +107,29 @@ def summarize(model, seconds, label):
     return out, f, fev
 
 
-def time_to_target(f, fev, total_seconds, total_evals, target, tol):
+def time_to_target(f, fev, total_seconds, total_evals, target, tol,
+                   phase_seconds=None, phase1_iterations=None):
     """Seconds until the trace first reaches target (+tol), attributing wall
-    clock by cumulative objective evals (uniform post-compile eval cost)."""
+    clock by cumulative objective evals. With the two-phase schedule the
+    phases' per-eval costs differ ~8x (mixed ~22 ms vs f64 ~188 ms;
+    PRECISION.md §5-6), so when phase timings are available each phase's
+    wall is attributed uniformly over ITS OWN evals instead of pooling."""
     hit = np.nonzero(f <= target + tol)[0]
     if len(hit) == 0:
         return None
     i = int(hit[0])
+    if (
+        phase_seconds is not None and len(phase_seconds) == 2
+        and phase1_iterations is not None
+        and np.all(np.isfinite(fev[: i + 1]))
+    ):
+        it1 = int(phase1_iterations)
+        fe1 = float(fev[it1])
+        fe_end = float(total_evals)
+        if i <= it1:
+            return phase_seconds[0] * float(fev[i]) / max(fe1, 1.0)
+        frac2 = (float(fev[i]) - fe1) / max(fe_end - fe1, 1.0)
+        return phase_seconds[0] + phase_seconds[1] * frac2
     if np.all(np.isfinite(fev[: i + 1])):
         evals_at = float(fev[i])
     else:
@@ -181,7 +197,9 @@ def main():
         model, secs = run_training(mode, sdt)
         out, f, fev = summarize(model, secs, label)
         t_hit = time_to_target(
-            f, fev, out["train_seconds"], out["fun_evals"], tgt, tol
+            f, fev, out["train_seconds"], out["fun_evals"], tgt, tol,
+            phase_seconds=out.get("phase_seconds"),
+            phase1_iterations=out.get("phase1_iterations"),
         )
         out["target_nlml"] = tgt
         out["reached_target"] = t_hit is not None
