@@ -118,10 +118,15 @@ def time_to_target(f, fev, total_seconds, total_evals, target, tol,
     if len(hit) == 0:
         return None
     i = int(hit[0])
+    # fevals traces are int32 with a -1 "unrecorded" sentinel, which IS
+    # finite — guard on >= 0 (and on the window fitting inside the trace)
+    # so an unstitched/truncated trace falls back to index-proportional
+    # attribution instead of producing garbage seconds (ADVICE r3 #1)
+    fev_ok = i < len(fev) and bool(np.all(np.asarray(fev[: i + 1]) >= 0))
     if (
         phase_seconds is not None and len(phase_seconds) == 2
         and phase1_iterations is not None
-        and np.all(np.isfinite(fev[: i + 1]))
+        and fev_ok
     ):
         it1 = int(phase1_iterations)
         fe1 = float(fev[it1])
@@ -130,7 +135,7 @@ def time_to_target(f, fev, total_seconds, total_evals, target, tol,
             return phase_seconds[0] * float(fev[i]) / max(fe1, 1.0)
         frac2 = (float(fev[i]) - fe1) / max(fe_end - fe1, 1.0)
         return phase_seconds[0] + phase_seconds[1] * frac2
-    if np.all(np.isfinite(fev[: i + 1])):
+    if fev_ok:
         evals_at = float(fev[i])
     else:
         evals_at = total_evals * (i / max(len(f) - 1, 1))

@@ -263,6 +263,13 @@ def train(
 
         return fun, score_fn
 
+    # every phase shares one record_len — the full budget's 64-bucket — so
+    # the refine phase's data-dependent remaining budget maps to the SAME
+    # cached executable regardless of where phase 1 stopped (otherwise a
+    # phase-1 outcome that crosses a 64-iteration bucket boundary triggers
+    # a fresh multi-minute compile; PRECISION.md §6, ADVICE r3 #2)
+    record_len = -(-(int(tc.max_iter) + 1) // 64) * 64
+
     def run_phase(cfg_phase, unravel_phase, args_phase, x0, budget,
                   best_score0, x_best0):
         fun, score_fn = make_phase(cfg_phase, unravel_phase)
@@ -281,6 +288,7 @@ def train(
             max_attempts=tc.max_attempts,
             init_best_score=best_score0,
             x_best0=x_best0,
+            record_len=record_len,
         )
 
     min_args = (data_tr, data_va) if has_valid else (data_tr,)
@@ -554,8 +562,13 @@ def predict(
     # and for the O(n m d_cost) mixture tensors (X_hat/Psi_hat) of the
     # missing-data path
     d_cost = d * d if cfg.full_cov else d
+    # budgets are calibrated in f32 elements; the moment pass runs its
+    # density chain in predict.variance_dtype() (f64 by default), so scale
+    # the row batch down to keep peak bytes constant
+    vbytes = predict_mod.variance_dtype().itemsize
     moments_batch = max(
-        16, min(batch_size, predict_mod.PAIR_BUDGET // (8 * cfg.m * d_cost))
+        16, min(batch_size,
+                predict_mod.PAIR_BUDGET * 4 // vbytes // (8 * cfg.m * d_cost))
     )
 
     # group rows by missingness pattern (ref predict.m:45-56)

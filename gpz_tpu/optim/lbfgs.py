@@ -429,16 +429,20 @@ def minimize(
     compilation cache key depend on the data bytes — with `args`, any
     same-shaped dataset reuses the compiled optimizer.
 
-    `max_iter` / `max_attempts` are DYNAMIC operands of one compiled
+    `max_iter` / `max_attempts` are DYNAMIC operands of the compiled
     program, not compile-time constants: the trace buffers are sized by
     `record_len`, which defaults to `max_iter + 1` rounded up to a
-    multiple of 64 — so every iteration budget up to the bucket boundary
-    (and in particular the refine phase's data-dependent remaining budget,
-    model.py train) reuses the same multi-minute TPU executable from the
-    persistent compilation cache instead of recompiling it per budget.
+    multiple of 64 — i.e. ONE EXECUTABLE PER 64-ITERATION BUCKET, not
+    literally one. Budgets within the same bucket (and in particular the
+    refine phase's data-dependent remaining budget, model.py train) reuse
+    the same multi-minute TPU executable from the persistent compilation
+    cache; a budget that crosses a bucket boundary still compiles fresh.
+    `max_iter` must be a concrete Python int here (it sizes host-side
+    buffers); pass `record_len` explicitly to pin the bucket.
     """
+    max_iter = int(max_iter)
     if record_len is None:
-        record_len = -(-(int(max_iter) + 1) // 64) * 64
+        record_len = -(-(max_iter + 1) // 64) * 64
     elif max_iter + 1 > record_len:
         raise ValueError(
             f"record_len={record_len} cannot hold max_iter={max_iter} + 1 "

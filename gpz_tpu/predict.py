@@ -18,6 +18,20 @@ Outputs per sample (ref demo_sinc.m:105-109, predict.m:72):
 All rows of one call share a single missingness pattern (a (d,) mask vector):
 the host-side driver in gpz_tpu.model groups rows by pattern exactly like ref
 GPz/predict.m:45-56 and dispatches each group here.
+
+Precision. The moment-matched second moments are tiny differences of large
+sums: nu = sum_ij E[phi_i phi_j] (Sigma_w^-1)_ij can be ~1e-6 while
+sum_ij |.| is ~10 (measured on the trained photo-z model, round 4), so f32
+*values* of the pair densities put an absolute noise floor of ~1e-4 under
+nu/gamma — which inflates sigma on exactly the most confident rows and
+costs ~0.4 nats of test MLL vs the reference's f64 pipeline (the round-3
+parity violation). The fix exploits what the TPU is good at: the
+ELEMENTWISE chain (quadratic forms, logdets, exp) runs in float64 — which
+XLA:TPU emulates accurately (~1e-14, PRECISION.md §3) — while the
+CONTRACTIONS against w/v/iSigma_w stay on the f32 MXU: with f64-accurate
+pair densities, an f32-grade contraction only contributes
+~eps_f32 * sum|terms| ~ 1e-6, two orders below what the band needs.
+Env GPZ_VARIANCE_DTYPE=float32 restores the all-f32 fast path.
 """
 
 from __future__ import annotations
@@ -78,8 +92,17 @@ MISSING_PAIR_BUDGET = int(
 )
 
 
-def _block_size(n: int, m: int, d_cost: int, budget: int = 0) -> int:
-    budget = budget or PAIR_BUDGET
+def variance_dtype():
+    """dtype of the moment-matching chain (see module docstring): float64
+    unless GPZ_VARIANCE_DTYPE=float32 opts into the all-f32 fast path."""
+    return jnp.dtype(os.environ.get("GPZ_VARIANCE_DTYPE", "float64"))
+
+
+def _block_size(n: int, m: int, d_cost: int, budget: int = 0,
+                itemsize: int = 4) -> int:
+    # budgets are calibrated in f32 elements; scale down for wider dtypes
+    # so the peak live BYTES stay constant
+    budget = (budget or PAIR_BUDGET) * 4 // itemsize
     return max(1, min(m, budget // max(1, n * m * d_cost)))
 
 
@@ -131,14 +154,20 @@ def predict_moments_diag(params, post, priors, cfg: ModelConfig, X,
     complete: static — True when mask_vec is statically all-True (skips the
               GMM-conditioning machinery)
     """
-    P = params.P                              # (m, d)
-    G = params.expand_gamma(cfg)
+    vdt = variance_dtype()                    # density-chain dtype (f64)
+    cdt = params.P.dtype                      # MXU contraction dtype (f32)
+    up = lambda a: a.astype(vdt)
+    P = up(params.P)                          # (m, d)
+    G = up(params.expand_gamma(cfg))
     Sigma = G**-2.0                           # (m, d)
     iS = G**2.0
-    w = post.w                                # (m, k)
-    v = _v_or_zero(params, cfg)
-    b = params.b
-    om = mask_vec.astype(X.dtype)             # (d,)
+    w = post.w.astype(cdt)                    # (m, k)
+    v = _v_or_zero(params, cfg).astype(cdt)
+    b = up(params.b)
+    X = up(X)
+    psi = up(psi)
+    priors = up(priors)
+    om = mask_vec.astype(vdt)                 # (d,)
     um = 1.0 - om
 
     # --- responsibilities + expected activations (PHI) ---
@@ -165,17 +194,22 @@ def predict_moments_diag(params, post, priors, cfg: ModelConfig, X,
             (-0.5 * dP**2 / Sij - 0.5 * jnp.log(Sij)) * um[None, None, :],
             axis=-1,
         )
-        PHI = jnp.exp(lnz)[None, :] * jnp.exp(lnNo) * (Pio @ jnp.exp(lnNij_u))
+        # nonnegative contraction — no cancellation, so the cdt MXU dot
+        # keeps full relative accuracy on the vdt-accurate factors
+        PHI = jnp.exp(lnz)[None, :] * jnp.exp(lnNo) * (
+            Pio.astype(cdt) @ jnp.exp(lnNij_u).astype(cdt)
+        ).astype(vdt)
 
-    mu = PHI @ w                                           # (n, k)
-    ElnS = PHI @ v
+    PHI_c = PHI.astype(cdt)
+    mu = (PHI_c @ w).astype(vdt)                           # (n, k)
+    ElnS = (PHI_c @ v).astype(vdt)
 
     # --- pairwise moment matching (predictDiag.m:93-121), tiled over blocks
     # of the first basis index i so the peak intermediate is (n, B, m, d)
     # elements regardless of m (see PAIR_BUDGET) ---
     n, d = X.shape
     m, k = cfg.m, cfg.k
-    B = _block_size(n, m, d)
+    B = _block_size(n, m, d, itemsize=vdt.itemsize)
     nb = -(-m // B)
     pad = nb * B - m
     # i-side arrays padded so partial blocks contribute exactly zero: padded
@@ -187,7 +221,7 @@ def predict_moments_diag(params, post, priors, cfg: ModelConfig, X,
     lnz_i = jnp.pad(lnz, (0, pad))
     w_i = jnp.pad(w, ((0, pad), (0, 0)))
     v_i = jnp.pad(v, ((0, pad), (0, 0)))
-    iSW_i = jnp.pad(post.iSigma_w, ((0, 0), (0, pad), (0, 0)))
+    iSW_i = jnp.pad(post.iSigma_w.astype(cdt), ((0, 0), (0, pad), (0, 0)))
     Pio_l = None if complete else jnp.pad(Pio, ((0, 0), (0, pad)))
 
     def pair_block(i0):
@@ -229,18 +263,23 @@ def predict_moments_diag(params, post, priors, cfg: ModelConfig, X,
                     axis=-1,
                 )
                 Piob = jax.lax.dynamic_slice_in_dim(Pio_l, l0, B, 1)
-                return (jnp.einsum("nl,lij->nij", Piob, jnp.exp(lnNu)),)
+                # nonnegative mixture sum: cdt MXU contraction is safe
+                return (jnp.einsum(
+                    "nl,lij->nij", Piob.astype(cdt),
+                    jnp.exp(lnNu).astype(cdt)),)
             (mix,) = _blocked_sum(
-                l_block, nb, B, (jnp.zeros((n, B, m), X.dtype),)
+                l_block, nb, B, (jnp.zeros((n, B, m), cdt),)
             )
-            Ec = jnp.exp(lnNo_pair) * mix
-        ZN = jnp.exp(lnZij)[None] * Ec                         # (n, B, m)
+            Ec = jnp.exp(lnNo_pair) * mix.astype(vdt)
+        # contractions on the cdt MXU: the pair densities are vdt-accurate,
+        # so the f32-grade dots only add ~eps_f32 * sum|terms| (~1e-6)
+        ZN = (jnp.exp(lnZij)[None] * Ec).astype(cdt)           # (n, B, m)
         g_c = jnp.einsum("nij,ik,jk->nk", ZN, wb, w)
         V_c = jnp.einsum("nij,ik,jk->nk", ZN, vb, v)
         nu_c = jnp.einsum("nij,kij->nk", ZN, iSWb)
-        return g_c, V_c, nu_c
+        return g_c.astype(vdt), V_c.astype(vdt), nu_c.astype(vdt)
 
-    zero = jnp.zeros((n, k), X.dtype)
+    zero = jnp.zeros((n, k), vdt)
     g_sum, V_sum, nu = _blocked_sum(pair_block, nb, B, (zero, zero, zero))
     gamma = g_sum - mu**2
     VlnS = V_sum - ElnS**2
@@ -271,14 +310,20 @@ def predict_moments_full(params, post, priors, cfg: ModelConfig, X,
     """
     n, d = X.shape
     m, k = cfg.m, cfg.k
-    P = params.P
-    G = params.expand_gamma(cfg)              # (m, d, d)
-    w = post.w
-    v = _v_or_zero(params, cfg)
-    b = params.b
-    om = mask_vec.astype(X.dtype)
+    vdt = variance_dtype()                    # density-chain dtype (f64)
+    cdt = params.P.dtype                      # MXU contraction dtype (f32)
+    up = lambda a: a.astype(vdt)
+    P = up(params.P)
+    G = up(params.expand_gamma(cfg))          # (m, d, d)
+    w = post.w.astype(cdt)
+    v = _v_or_zero(params, cfg).astype(cdt)
+    b = up(params.b)
+    X = up(X)
+    psi = up(psi)
+    priors = up(priors)
+    om = mask_vec.astype(vdt)
     M = jnp.diag(om)                          # (d, d)
-    eye = jnp.eye(d, dtype=X.dtype)
+    eye = jnp.eye(d, dtype=vdt)
 
     # all batched tiny (d x d) factorizations below use the unrolled VPU
     # path (linalg.unrolled_*): lax.linalg lowering on TPU is both slow and
@@ -352,16 +397,20 @@ def predict_moments_full(params, post, priors, cfg: ModelConfig, X,
         )
         PHI = jnp.exp(lnz)[None, :] * phi_sum
 
-    mu = PHI @ w
-    ElnS = PHI @ v
+    PHI_c = PHI.astype(cdt)
+    mu = (PHI_c @ w).astype(vdt)
+    ElnS = (PHI_c @ v).astype(vdt)
 
     # --- pairwise pass (predictCov.m:101-113,180-218), tiled over blocks of
     # basis index i; the mixture sum of the missing path runs as a scan over
     # components l so the reference's (n, l, i, j, d, d) triple-loop tensor
     # never materializes — peak live block is (n, B, m, d, d) elements ---
-    PiS = jnp.einsum("id,idk->ik", P, iSig)                 # (m, d)
+    # multiply+sum, not einsum: keeps the vdt table on the accurate
+    # elementwise path (the TPU backend's f64 dot is f32-grade)
+    PiS = jnp.sum(P[:, :, None] * iSig, axis=1)             # (m, d)
     B = _block_size(n, m, d * d,
-                    0 if complete else MISSING_PAIR_BUDGET)
+                    0 if complete else MISSING_PAIR_BUDGET,
+                    itemsize=vdt.itemsize)
     nb = -(-m // B)
     pad = nb * B - m
     eye_pad = jnp.broadcast_to(eye, (pad, d, d))
@@ -372,7 +421,7 @@ def predict_moments_full(params, post, priors, cfg: ModelConfig, X,
     lnz_i = jnp.pad(lnz, (0, pad))
     w_i = jnp.pad(w, ((0, pad), (0, 0)))
     v_i = jnp.pad(v, ((0, pad), (0, 0)))
-    iSW_i = jnp.pad(post.iSigma_w, ((0, 0), (0, pad), (0, 0)))
+    iSW_i = jnp.pad(post.iSigma_w.astype(cdt), ((0, 0), (0, pad), (0, 0)))
 
     def pair_block(i0):
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i0, B, 0)
@@ -383,10 +432,11 @@ def predict_moments_full(params, post, priors, cfg: ModelConfig, X,
         iSWb = jax.lax.dynamic_slice_in_dim(iSW_i, i0, B, 1)   # (k, B, m)
         iCij = iSigb[:, None] + iSig[None, :]                  # (B, m, d, d)
         Cij, _ = unrolled_inv_psd(iCij)
-        cij = jnp.einsum(
-            "ijd,ijdk->ijk",
-            jnp.broadcast_to(PiSb[:, None, :], (B, m, d)) + PiS[None, :, :],
-            Cij,
+        # multiply+sum (see PiS note)
+        cij = jnp.sum(
+            (jnp.broadcast_to(PiSb[:, None, :], (B, m, d))
+             + PiS[None, :, :])[..., :, None] * Cij,
+            axis=-2,
         )
         SS = Sigb[:, None] + Sigma[None, :]                    # (B, m, d, d)
         dP = Pb[:, None, :] - P[None, :, :]
@@ -413,13 +463,15 @@ def predict_moments_full(params, post, priors, cfg: ModelConfig, X,
                 ec_step, jnp.zeros((n, B, m), X.dtype), mix_xs
             )
 
-        ZN = jnp.exp(lnZij)[None] * Ec                         # (n, B, m)
+        # contractions on the cdt MXU: the pair densities are vdt-accurate,
+        # so the f32-grade dots only add ~eps_f32 * sum|terms| (~1e-6)
+        ZN = (jnp.exp(lnZij)[None] * Ec).astype(cdt)           # (n, B, m)
         g_c = jnp.einsum("nij,ik,jk->nk", ZN, wb, w)
         V_c = jnp.einsum("nij,ik,jk->nk", ZN, vb, v)
         nu_c = jnp.einsum("nij,kij->nk", ZN, iSWb)
-        return g_c, V_c, nu_c
+        return g_c.astype(vdt), V_c.astype(vdt), nu_c.astype(vdt)
 
-    zero = jnp.zeros((n, k), X.dtype)
+    zero = jnp.zeros((n, k), vdt)
     g_sum, V_sum, nu = _blocked_sum(pair_block, nb, B, (zero, zero, zero))
     gamma = g_sum - mu**2
     VlnS = V_sum - ElnS**2

@@ -35,3 +35,33 @@ def test_shipped_matches_reference_small_sinc():
     assert shipped["rmse"] <= ref["rmse"] * (1 + TOLERANCES["rmse"]), (
         shipped, ref)
     assert shipped["mll"] >= ref["mll"] - TOLERANCES["mll"], (shipped, ref)
+
+
+def test_check_parity_flags_nan_and_violations():
+    """The harness must treat NaN as a violation and must flag every banded
+    metric — a NaN mll in a committed table masked a real calibration
+    failure for a whole round (VERDICT r3 weak #1)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "benchmarks"))
+    from parity_numbers import check_parity
+
+    ref = {"rmse": 0.034, "mll": 2.64, "fr15": 99.8, "fr05": 97.0,
+           "bias": -0.0005}
+    ok = {"rmse": 0.034, "mll": 2.64, "fr15": 99.9, "fr05": 97.1,
+          "bias": 0.0007}
+    assert check_parity({"c": {"reference": ref, "shipped": ok}}) == []
+
+    for key, bad_val in [("mll", float("nan")), ("mll", 2.24),
+                         ("rmse", 0.05), ("fr15", 95.0), ("fr05", 90.0),
+                         ("bias", 0.01)]:
+        sh = dict(ok, **{key: bad_val})
+        bad = check_parity({"c": {"reference": ref, "shipped": sh}})
+        assert bad and bad[0][1] == key, (key, bad_val, bad)
+
+    # committed table must itself be clean
+    if os.path.exists(TABLE):
+        with open(TABLE) as fh:
+            table = json.load(fh)
+        assert check_parity(table["configs"]) == []

@@ -248,7 +248,7 @@ def test_blocked_pair_pass_matches_single_block(rng, method, complete,
     # force B=2 -> 4 blocks with a padded tail
     monkeypatch.setattr(predict_mod, "PAIR_BUDGET", n * m * d * d * 2 // 1)
     monkeypatch.setattr(predict_mod, "_block_size",
-                        lambda n_, m_, dc, budget=0: 2)
+                        lambda n_, m_, dc, budget=0, itemsize=4: 2)
     blocked = fn(params, post, priors, cfg, Xz, mask_vec.astype(X.dtype),
                  psi, complete)
 
