@@ -403,22 +403,9 @@ def train(
     iterations = int(res.iterations)
     fun_evals = int(res.fun_evals)
     if phase1_trace is not None:
-        # stitch the two phase traces: phase-2 entry 0 is the re-eval of the
-        # phase-1 final iterate under the strict objective (kept — it shows
-        # the mixed-value bias at the switch point); fevals continue from
-        # the phase-1 running count
-        it1 = phase1_iterations
-        fe1 = int(np.asarray(phase1_trace["fevals"])[it1])
-
-        def stitch(a1, a2):
-            a2 = np.asarray(a2)[: iterations + 1]
-            if a2.dtype == np.int32 and a2.ndim == 1:  # fevals counters
-                a2 = np.where(a2 >= 0, a2 + fe1, a2)
-            return np.concatenate([np.asarray(a1)[: it1 + 1], a2], axis=0)
-
-        trace = jax.tree.map(stitch, phase1_trace, trace)
-        iterations = it1 + iterations + 1  # +1: the switch-point re-eval row
-        fun_evals += fe1
+        trace, iterations, fun_evals = stitch_phase_traces(
+            phase1_trace, phase1_iterations, trace, iterations, fun_evals
+        )
 
     fit_info = {
         "iterations": iterations,
@@ -439,6 +426,31 @@ def train(
         cfg=cfg, muX=model.muX, sdX=model.sdX, muY=model.muY,
         last=last, best=best, fit_info=fit_info,
     )
+
+
+def stitch_phase_traces(phase1_trace, it1, trace2, it2, fun_evals2):
+    """Concatenate the two precision-phase optimizer traces into one.
+
+    Phase-2 row 0 is the re-evaluation of the phase-1 final iterate under
+    the strict objective — KEPT in the stitched trace (it shows the
+    mixed-value bias at the switch point), so the combined iteration count
+    is it1 + it2 + 1. Phase-2 `fevals` counters (int32, -1 = unrecorded
+    sentinel) continue from the phase-1 running count; -1 rows stay -1.
+    `bench_convergence.time_to_target` attributes wall clock on exactly
+    this structure, so it is unit-tested (tests/test_model_sinc.py).
+
+    Returns (trace, iterations, fun_evals).
+    """
+    fe1 = int(np.asarray(phase1_trace["fevals"])[it1])
+
+    def stitch(a1, a2):
+        a2 = np.asarray(a2)[: it2 + 1]
+        if a2.dtype == np.int32 and a2.ndim == 1:  # fevals counters
+            a2 = np.where(a2 >= 0, a2 + fe1, a2)
+        return np.concatenate([np.asarray(a1)[: it1 + 1], a2], axis=0)
+
+    trace = jax.tree.map(stitch, phase1_trace, trace2)
+    return trace, it1 + it2 + 1, fun_evals2 + fe1
 
 
 def _print_trace(fit_info, has_valid):

@@ -85,6 +85,12 @@ import os as _os
 
 GRAM_BLOCK = int(_os.environ.get("GPZ_GRAM_BLOCK", "8192"))
 
+#: rows per Ozaki-Gram accumulation chunk (env GPZ_OZAKI_CHUNK): above this,
+#: the exact-MXU Gram runs as a rematerialized scan over row chunks so the
+#: bf16 slice copies stay O(chunk * m) instead of O(n * m) — required at the
+#: 1M x 1000 scale target (BASELINE configs[4])
+OZAKI_CHUNK = int(_os.environ.get("GPZ_OZAKI_CHUNK", str(128 * 1024)))
+
 
 def _ozaki_active() -> bool:
     """Use the exact-MXU Gram path (ops/ozaki.py)? Default: every non-CPU
@@ -125,9 +131,46 @@ def _gram_reductions(PHI, ob, Y, sdt, r, mode: str):
         P = PHI.astype(ft)
         obf = ob.astype(ft)
         k = ob.shape[1]
-        sq = jnp.sqrt(obf)
-        A = jnp.stack([ozaki_gram(P * sq[:, kk:kk + 1]) for kk in range(k)])
-        rhs = ozaki_tn(P, obf * Y.astype(ft))
+        # gradient-safe sqrt: padded rows carry omega == 0 (the sharded
+        # path's exact-no-op invariant), and d sqrt(0) = inf would turn
+        # their zero cotangent into 0 * inf = NaN — every sharded gradient
+        # would be NaN (caught by
+        # tests/test_sharding.py::test_sharded_ozaki_fastsolve...)
+        pos = obf > 0
+        sq = jnp.sqrt(jnp.where(pos, obf, 1.0)) * pos.astype(ft)
+
+        def chunk_grams(Pc, sqc, obfc, Yc):
+            A = jnp.stack(
+                [ozaki_gram(Pc * sqc[:, kk:kk + 1]) for kk in range(k)]
+            )
+            rhs = ozaki_tn(Pc, obfc * Yc.astype(ft))
+            return A, rhs
+
+        n = PHI.shape[0]
+        if n <= OZAKI_CHUNK:
+            A, rhs = chunk_grams(P, sq, obf, Y)
+        else:
+            # chunked accumulation: the slice products would otherwise
+            # materialize q bf16 copies of the full (n, m) factor (~10 GB
+            # at the 1M x 1000 scale target, BASELINE configs[4]);
+            # jax.checkpoint keeps the scan's backward from stacking a
+            # second full-size residual of W = PHI * sqrt(ob)
+            nc = -(-n // OZAKI_CHUNK)
+            npad = nc * OZAKI_CHUNK
+            padn = lambda x: jnp.pad(x, ((0, npad - n), (0, 0)))
+            xs = tuple(
+                x.reshape((nc, OZAKI_CHUNK) + x.shape[1:])
+                for x in (padn(P), padn(sq), padn(obf), padn(Y))
+            )
+
+            def step(acc, chunk):
+                out = jax.checkpoint(chunk_grams)(*chunk)
+                return jax.tree.map(jnp.add, acc, out), None
+
+            m = PHI.shape[1]
+            init = (jnp.zeros((k, m, m), jnp.float64),
+                    jnp.zeros((m, k), jnp.float64))
+            (A, rhs), _ = jax.lax.scan(step, init, xs)
         obyy = jnp.sum((ob * Y * Y).astype(sdt), axis=0)
         return r(A.astype(sdt)), r(rhs.astype(sdt)), r(obyy)
 

@@ -1,0 +1,85 @@
+"""Multi-process jax.distributed test (VERDICT r3 item 5): 2 CPU processes
+x 4 virtual devices each, coordinator on localhost. First end-to-end
+exercise of the multi-host entry path — `distributed.initialize` ->
+`host_row_range` -> `global_dataset` -> SPMD objective -> one
+`train_sharded` step — asserting equality with the single-process result.
+
+The reference has no distributed machinery at all (SURVEY §2.3); this is
+the net-new framework layer's integration test.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+WORKER = os.path.join(HERE, "distributed_worker.py")
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_distributed_matches_single(tmp_path):
+    n_procs = 2
+    coordinator = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    # the workers configure their own backend; scrub anything that would
+    # preselect one or share a compile cache with this process
+    env.pop("JAX_PLATFORMS", None)
+    outfiles = [str(tmp_path / f"rank{i}.json") for i in range(n_procs)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, coordinator, str(n_procs), str(i),
+             outfiles[i]],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(n_procs)
+    ]
+    outputs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=540)
+            outputs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, (
+            f"rank {i} failed:\n{outputs[i][-4000:]}"
+        )
+
+    results = []
+    for f in outfiles:
+        with open(f) as fh:
+            results.append(json.load(fh))
+
+    for r in results:
+        assert r["process_count"] == n_procs
+        # sharded == single-process objective, f64 => tight
+        np.testing.assert_allclose(r["f_sharded"], r["f_single"],
+                                   rtol=1e-12)
+        assert r["w_max_diff"] < 1e-9
+        assert r["train_finite"]
+        assert r["train_f_end"] < r["train_f0"]  # the step made progress
+
+    # the two ranks computed identical replicated results
+    np.testing.assert_allclose(results[0]["f_sharded"],
+                               results[1]["f_sharded"], rtol=0)
+    np.testing.assert_allclose(results[0]["train_f_end"],
+                               results[1]["train_f_end"], rtol=0)
+    # and loaded disjoint, covering row ranges
+    r0, r1 = results[0]["row_range"], results[1]["row_range"]
+    assert r0[1] == r1[0] and r0[0] == 0 and r1[1] == 64

@@ -122,3 +122,50 @@ def test_init_shapes_all_methods(rng):
         assert cfg.method == method
         assert model.last.params.gamma.shape == cfg.gamma_shape
         assert np.all(np.isfinite(np.asarray(model.last.post.w)))
+
+
+def test_stitch_phase_traces_structure():
+    """The two-phase trace stitch that time_to_target's wall-clock
+    attribution depends on: row count it1+it2+2 (switch-point re-eval row
+    kept), fevals renumbered by the phase-1 running count with the -1
+    unrecorded sentinel preserved (VERDICT r3 weak #8)."""
+    import numpy as np
+    from gpz_tpu.model import stitch_phase_traces
+
+    rec = 8
+    t1 = {
+        "f": np.array([5.0, 4.0, 3.0, np.nan, np.nan, np.nan, np.nan,
+                       np.nan]),
+        "fevals": np.array([1, 3, 6, -1, -1, -1, -1, -1], np.int32),
+    }
+    it1 = 2  # phase 1 stopped after 2 iterations -> rows 0..2 are real
+    t2 = {
+        "f": np.array([3.1, 2.5, 2.0, np.nan, np.nan, np.nan, np.nan,
+                       np.nan]),
+        "fevals": np.array([1, 4, 7, -1, -1, -1, -1, -1], np.int32),
+    }
+    it2 = 2
+
+    trace, iters, fevals = stitch_phase_traces(t1, it1, t2, it2,
+                                               fun_evals2=7)
+    assert iters == it1 + it2 + 1 == 5
+    # rows: phase-1 0..2, then phase-2 0..2 (row 3 = switch-point re-eval)
+    np.testing.assert_array_equal(trace["f"],
+                                  [5.0, 4.0, 3.0, 3.1, 2.5, 2.0])
+    # fevals: phase-2 counters continue from phase-1's 6; -1 stays -1
+    np.testing.assert_array_equal(trace["fevals"], [1, 3, 6, 7, 10, 13])
+    assert fevals == 7 + 6  # phase-2 total + phase-1 running count
+    # cumulative eval counts must be strictly increasing across the stitch
+    assert np.all(np.diff(trace["fevals"]) > 0)
+
+
+def test_stitch_preserves_unrecorded_sentinel():
+    import numpy as np
+    from gpz_tpu.model import stitch_phase_traces
+
+    t1 = {"f": np.array([2.0, 1.0]), "fevals": np.array([1, 2], np.int32)}
+    t2 = {"f": np.array([1.0, 0.5, np.nan]),
+          "fevals": np.array([1, -1, -1], np.int32)}
+    trace, iters, _ = stitch_phase_traces(t1, 1, t2, 2, fun_evals2=5)
+    np.testing.assert_array_equal(trace["fevals"], [1, 2, 3, -1, -1])
+    assert iters == 4

@@ -198,3 +198,31 @@ class TestFastSolve:
         for a, b in zip(gf, gs):
             a, b = np.asarray(a), np.asarray(b)
             assert np.abs(a - b).max() / (np.abs(b).max() + 1e-300) < 1e-7
+
+
+def test_chunked_gram_accumulation_matches(monkeypatch):
+    """Above OZAKI_CHUNK rows the exact Gram runs as a rematerialized scan
+    over row chunks (slice copies stay O(chunk * m) — the 1M x 1000 scale
+    path, BASELINE configs[4]). Value and gradient must match the
+    single-chunk path exactly."""
+    import gpz_tpu.objective as O
+    from gpz_tpu.objective import nlog_ml
+    from jax.flatten_util import ravel_pytree
+    from test_objective import build
+
+    monkeypatch.setenv("GPZ_OZAKI", "1")
+    rng = np.random.default_rng(2)
+    cfg, params, data, *_ = build(rng, "VC", True, False, True, n=37)
+
+    def vg():
+        (f, _), g = jax.value_and_grad(
+            lambda p: nlog_ml(p, data, cfg, complete=True), has_aux=True
+        )(params)
+        return float(f), ravel_pytree(g)[0]
+
+    monkeypatch.setattr(O, "OZAKI_CHUNK", 16)   # 37 rows -> 3 chunks + pad
+    f_c, g_c = vg()
+    monkeypatch.setattr(O, "OZAKI_CHUNK", 1 << 20)
+    f_1, g_1 = vg()
+    assert abs(f_c - f_1) < 1e-12
+    np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_1), atol=1e-12)
