@@ -52,11 +52,15 @@ def build_problem():
     return mags, z, psi, tr, va
 
 
-def run_training(solve_mode, solve_dtype="auto", dtype="float32"):
-    """Train once; returns (model, seconds)."""
+def run_training(solve_mode, solve_dtype="auto", dtype="float32",
+                 _problem_cache={}):
+    """Train once; returns (model, seconds). The seeded problem is cached so
+    repeat calls in one process time only training."""
     import gpz_tpu
 
-    X, Y, psi, tr, va = build_problem()
+    if "p" not in _problem_cache:
+        _problem_cache["p"] = build_problem()
+    X, Y, psi, tr, va = _problem_cache["p"]
     model = gpz_tpu.init(X, Y, "VC", M, heteroscedastic=True,
                          training=tr, psi=psi, seed=SEED, dtype=dtype)
     model = dataclasses.replace(
@@ -104,6 +108,12 @@ def summarize(model, seconds, label):
         "phase_seconds": model.fit_info.get("phase_seconds"),
         "phase1_iterations": model.fit_info.get("phase1_iterations"),
     }
+    it1 = model.fit_info.get("phase1_iterations")
+    if it1 is not None:
+        # where the mixed phase stalled, and what the f64 endgame then had
+        # to close — the compute budget's two halves (PRECISION.md §5-6)
+        out["phase1_final_nlml"] = float(f[it1])
+        out["phase1_fun_evals"] = int(fev[it1])
     return out, f, fev
 
 
@@ -199,26 +209,42 @@ def main():
 
     results = []
     for mode, sdt, label in runs:
-        model, secs = run_training(mode, sdt)
-        out, f, fev = summarize(model, secs, label)
-        t_hit = time_to_target(
-            f, fev, out["train_seconds"], out["fun_evals"], tgt, tol,
-            phase_seconds=out.get("phase_seconds"),
-            phase1_iterations=out.get("phase1_iterations"),
-        )
-        out["target_nlml"] = tgt
-        out["reached_target"] = t_hit is not None
-        out["seconds_to_target"] = None if t_hit is None else round(t_hit, 2)
-        results.append(out)
-        print(json.dumps(out))
+        # two identical trainings in one process: run 1 pays the per-process
+        # handling (jax trace + persistent-cache executable reads — no
+        # recompiles when the cache is warm), run 2 measures the pure
+        # compute + dispatch floor the handling sits on. Both are recorded;
+        # the headline is run 1 (a fresh process with a warm cache — the
+        # BASELINE.md condition), run 2 bounds what handling work remains.
+        for attempt in (1, 2):
+            model, secs = run_training(mode, sdt)
+            out, f, fev = summarize(
+                model, secs,
+                label if attempt == 1 else f"{label}_process_warm",
+            )
+            t_hit = time_to_target(
+                f, fev, out["train_seconds"], out["fun_evals"], tgt, tol,
+                phase_seconds=out.get("phase_seconds"),
+                phase1_iterations=out.get("phase1_iterations"),
+            )
+            out["target_nlml"] = tgt
+            out["reached_target"] = t_hit is not None
+            out["seconds_to_target"] = (
+                None if t_hit is None else round(t_hit, 2)
+            )
+            results.append(out)
+            print(json.dumps(out), flush=True)
+            if label != "mixed":
+                break
         if label == "mixed":
             print(json.dumps({
                 "metric": "seconds_to_f64_logML_VC_m100_n70k",
-                "value": out["seconds_to_target"],
+                "value": results[0]["seconds_to_target"],
                 "unit": "s",
                 "vs_baseline": (
-                    None if t_hit is None else round(60.0 / t_hit, 3)
+                    None if results[0]["seconds_to_target"] is None
+                    else round(60.0 / results[0]["seconds_to_target"], 3)
                 ),
+                "process_warm_value": results[1]["seconds_to_target"],
             }))
 
     # committed artifact: the mixed-run result next to the target it chased

@@ -67,6 +67,65 @@ def _np_dev(x, dtype):
     return jnp.asarray(np.asarray(x, dtype))
 
 
+# jitted-once lifecycle helpers: a fresh jax.jit(posterior) wrapper per call
+# would re-trace and re-read the persistent cache every time (each read is
+# seconds on a remote-compile backend, PRECISION.md §6)
+_posterior_jit = jax.jit(posterior, static_argnames=("cfg", "complete"))
+_prior_jit = jax.jit(get_prior, static_argnames=("cfg", "complete"))
+
+#: memoized per-(config, param structure, data completeness) phase closures.
+#: minimize() keys its jit cache on the IDENTITY of `fun`/`score_fn`
+#: (static args): fresh closures per train() call would re-trace the whole
+#: training loop (~9 s) and re-read its ~56 MB executable from the
+#: persistent cache (~25 s through the tunnel) on EVERY call — measured as
+#: phase-1 wall 33 s for 3.5 s of actual optimization (round-4 profiling,
+#: scratch -> PRECISION.md §6). With the closures cached, repeat train()
+#: calls in one process dispatch the already-loaded executable directly.
+_PHASE_FUN_CACHE: dict = {}
+_PHASE_FUN_CACHE_MAX = 32
+
+
+def _phase_functions(cfg_phase, unravel_phase,
+                     complete_tr, complete_va, has_valid):
+    # cfg_phase (frozen, hashable) fully determines the parameter pytree
+    # structure (shapes from m/d/k/method/heteroscedastic, dtype), so the
+    # captured unravel_phase is interchangeable across calls with equal keys
+    key = (cfg_phase, complete_tr, complete_va, has_valid)
+    hit = _PHASE_FUN_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    vg = jax.value_and_grad(
+        lambda p, d: nlog_ml(p, d, cfg_phase, complete=complete_tr),
+        has_aux=True,
+    )
+
+    def fun(flat, d_tr, *_):
+        (f, aux), g = vg(unravel_phase(flat), d_tr)
+        return f, ravel_pytree(g)[0], aux
+
+    score_fn = None
+    if has_valid:
+        def score_fn(flat, aux, _d_tr, d_va):
+            rmse, ll = holdout_metrics(
+                unravel_phase(flat), aux.w, d_va, cfg_phase,
+                complete=complete_va,
+            )
+            return ll, {
+                "valid_rmse": rmse,
+                "valid_ll": ll,
+                "train_rmse": aux.train_rmse,
+                "train_ll": aux.train_ll,
+            }
+
+    if len(_PHASE_FUN_CACHE) >= _PHASE_FUN_CACHE_MAX:
+        _PHASE_FUN_CACHE.pop(next(iter(_PHASE_FUN_CACHE)))
+    _PHASE_FUN_CACHE[key] = (fun, score_fn)
+    return fun, score_fn
+
+
+
+
 def _make_dataset(Xn, Yc, psi, omega, rows, dtype) -> Dataset:
     Xr = Xn[rows]
     mask = ~np.isnan(Xr)
@@ -174,9 +233,7 @@ def init(
 
     data = _make_dataset(Xn, Yc, psi_c, omega, training, dt)
     complete = bool(np.all(data.mask))
-    post = jax.jit(posterior, static_argnames=("cfg", "complete"))(
-        params, data, cfg, complete=complete
-    )
+    post = _posterior_jit(params, data, cfg, complete=complete)
     priors = jnp.full((m,), 1.0 / m, dtype=dt)
 
     last = ParamSet(params=params, post=post, priors=priors)
@@ -233,35 +290,19 @@ def train(
     flat0, unravel = ravel_pytree(model.last.params)
 
     def make_phase(cfg_phase, unravel_phase):
-        """(fun, score_fn) for one precision phase. Datasets ride through
-        minimize's `args`, NOT the closures: closed-over arrays become
-        compiled-in constants, which bloats the program and keys the
-        persistent compilation cache on the data bytes (any new catalog of
-        the same shape would recompile the whole training loop)."""
-        vg = jax.value_and_grad(
-            lambda p, d: nlog_ml(p, d, cfg_phase, complete=complete_tr),
-            has_aux=True,
+        """(fun, score_fn) for one precision phase, memoized process-wide
+        (see _phase_functions). Datasets ride through minimize's `args`,
+        NOT the closures: closed-over arrays become compiled-in constants,
+        which bloats the program and keys the persistent compilation cache
+        on the data bytes (any new catalog of the same shape would
+        recompile the whole training loop)."""
+        return _phase_functions(
+            cfg_phase,
+            unravel_phase,
+            complete_tr,
+            complete_va if has_valid else None,
+            has_valid,
         )
-
-        def fun(flat, d_tr, *_):
-            (f, aux), g = vg(unravel_phase(flat), d_tr)
-            return f, ravel_pytree(g)[0], aux
-
-        score_fn = None
-        if has_valid:
-            def score_fn(flat, aux, _d_tr, d_va):
-                rmse, ll = holdout_metrics(
-                    unravel_phase(flat), aux.w, d_va, cfg_phase,
-                    complete=complete_va,
-                )
-                return ll, {
-                    "valid_rmse": rmse,
-                    "valid_ll": ll,
-                    "train_rmse": aux.train_rmse,
-                    "train_ll": aux.train_ll,
-                }
-
-        return fun, score_fn
 
     # every phase shares one record_len — the full budget's 64-bucket — so
     # the refine phase's data-dependent remaining budget maps to the SAME
@@ -382,12 +423,10 @@ def train(
         # the parameters (an f64 refine phase gets an f64-accurate posterior)
         # and stored in the model dtype so prediction keeps its fast path
         params = unravel_final(flat)
-        post = jax.jit(posterior, static_argnames=("cfg", "complete"))(
-            params, data_final, cfg_final, complete=complete_tr
-        )
-        priors = jax.jit(get_prior, static_argnames=("cfg", "complete"))(
-            params, data_final, cfg_final, complete=complete_tr
-        )
+        post = _posterior_jit(params, data_final, cfg_final,
+                              complete=complete_tr)
+        priors = _prior_jit(params, data_final, cfg_final,
+                            complete=complete_tr)
         cast = lambda a: jnp.asarray(a, dt)  # noqa: E731
         return ParamSet(
             params=jax.tree.map(cast, params),

@@ -36,20 +36,30 @@ def initialize(
     process_id: Optional[int] = None,
 ) -> None:
     """Initialize jax.distributed. On TPU pods all arguments are discovered
-    from the environment; pass them explicitly elsewhere. Idempotent."""
-    if jax.process_count() > 1:
-        return  # already initialized
-    kwargs = {}
+    from the environment; pass them explicitly elsewhere. Idempotent.
+
+    Must run before the first backend touch — NOTE the idempotence probe
+    deliberately uses jax.distributed.is_initialized(), not
+    jax.process_count(): the latter initializes the local backend, after
+    which jax.distributed.initialize() fails — the original version of this
+    function poisoned itself that way and silently fell back to
+    single-process (caught by tests/test_distributed.py)."""
+    if jax.distributed.is_initialized():
+        return
     if coordinator_address is not None:
-        kwargs = dict(
+        # explicit multi-process setup: failures here are real errors and
+        # must propagate — swallowing them silently degrades a multi-host
+        # run to npro=1
+        jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
+        return
     try:
-        jax.distributed.initialize(**kwargs)
+        jax.distributed.initialize()
     except (RuntimeError, ValueError):
-        # single-process run (no coordinator configured): nothing to do
+        # env-discovery found no coordinator: a single-process run
         pass
 
 
