@@ -226,6 +226,15 @@ def fast_solve_w_logdet(SIGMA, rhs):
     )
 
 
+def fast_solve_ok(SIGMA, rhs):
+    """Would fast_solve_w_logdet take its fast path here? (True) or fall
+    back to the strict f64 factor (False). Exposed so benchmarks can record
+    the fallback rate in the hard (late-training, ill-conditioned) regime —
+    the fallback costs the full strict solve on top of the failed fast one
+    (VERDICT r3 item 7)."""
+    return _fast_fwd_impl(SIGMA, rhs)[2]
+
+
 def _fast_solve_fwd(SIGMA, rhs):
     w, logdet, ok, L32, C, di = _fast_fwd_impl(SIGMA, rhs)
     w, logdet = jax.lax.cond(

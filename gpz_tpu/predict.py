@@ -91,6 +91,16 @@ MISSING_PAIR_BUDGET = int(
     os.environ.get("GPZ_PAIR_BUDGET_MISSING", str(3 * 10**6))
 )
 
+#: mixture-truncation width for the full-covariance missing-data path (env
+#: GPZ_MIX_TOPL): the GMM-conditioning mixture sums (phi_step / ec_step,
+#: ref predictCov.m:197-202,301-306) scan over all m components although the
+#: posterior responsibilities Pio are a softmax whose mass concentrates on a
+#: handful of bases on trained models. Keeping each row's top-L components
+#: (renormalized) cuts the scans from m to L steps — the dominant cost of
+#: missing-data prediction at m=1000 (19 rows/s in round 3, VERDICT item 6).
+#: L >= m disables truncation exactly.
+MIX_TOPL = int(os.environ.get("GPZ_MIX_TOPL", "64"))
+
 
 def variance_dtype():
     """dtype of the moment-matching chain (see module docstring): float64
@@ -376,13 +386,28 @@ def predict_moments_full(params, post, priors, cfg: ModelConfig, X,
             jnp.einsum("mij,njk,mlk->nmil", J, psi, J) + cond_cov[None]
         )                                                          # (n, m, d, d)
 
+        # mixture truncation (see MIX_TOPL): keep each row's top-L
+        # responsibilities, renormalized so the conditional mixture still
+        # integrates to 1; L >= m reduces to the exact full sum (top_k of
+        # all m is a permutation and the renormalizer is sum(softmax) == 1)
+        L = min(m, MIX_TOPL)
+        if L < m:
+            pio_t, idx = jax.lax.top_k(Pio, L)                     # (n, L)
+            pio_t = pio_t / jnp.sum(pio_t, axis=1, keepdims=True)
+            Xh_t = jnp.take_along_axis(X_hat, idx[:, :, None], axis=1)
+            Ph_t = jnp.take_along_axis(
+                Psi_hat, idx[:, :, None, None], axis=1
+            )
+        else:
+            pio_t, Xh_t, Ph_t = Pio, X_hat, Psi_hat
+
         # PHI_i = exp(lnz_i) sum_j Pio_j N(X_hat_j; P_i, Sigma_i + Psi_hat_j),
         # as a scan over mixture components j so the peak intermediate is
         # (n, m, d, d) — never the (n, m, m, d, d) tensor (VERDICT r1 item 7)
         mix_xs = (
-            jnp.moveaxis(Psi_hat, 1, 0),                           # (m, n, d, d)
-            jnp.moveaxis(X_hat, 1, 0),                             # (m, n, d)
-            Pio.T,                                                 # (m, n)
+            jnp.moveaxis(Ph_t, 1, 0),                              # (L, n, d, d)
+            jnp.moveaxis(Xh_t, 1, 0),                              # (L, n, d)
+            pio_t.T,                                               # (L, n)
         )
 
         def phi_step(acc, xs):

@@ -257,3 +257,46 @@ def test_blocked_pair_pass_matches_single_block(rng, method, complete,
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-10, atol=1e-12, err_msg=name
         )
+
+
+def test_mixture_truncation_topl(rng, monkeypatch):
+    """Full-covariance missing-data mixture truncation (predict.MIX_TOPL):
+    L >= m must be bit-identical to the full sum; a peaked-responsibility
+    problem must agree closely at small L (VERDICT r3 item 6)."""
+    import importlib
+
+    predict_mod = importlib.import_module("gpz_tpu.predict")
+
+    n, d, m, k = 12, 3, 24, 1
+    cfg = ModelConfig(m=m, d=d, k=k, method="VC", dtype="float64")
+    params = make_params(rng, cfg)
+    post = make_post(rng, m, k)
+    # trained models concentrate the EM prior on a few bases (ref
+    # getPrior.m fixed point collapses most to ~0) — that concentration is
+    # the truncation's premise, so the test constructs it explicitly
+    pr = np.full(m, 1e-9)
+    pr[:5] = rng.dirichlet(np.ones(5)) * (1 - (m - 5) * 1e-9)
+    priors = jnp.asarray(pr)
+    X = jnp.asarray(rng.standard_normal((n, d)))
+    mask_vec = jnp.asarray([True, False, True])
+    A = rng.standard_normal((n, d, d)) * 0.1
+    psi = jnp.asarray(A @ np.swapaxes(A, 1, 2) + 0.05 * np.eye(d))
+    Xz = X * mask_vec[None, :].astype(X.dtype)
+
+    def run():
+        return predict_moments_full(params, post, priors, cfg, Xz,
+                                    mask_vec.astype(X.dtype), psi, False)
+
+    monkeypatch.setattr(predict_mod, "MIX_TOPL", m)       # exact
+    full = run()
+    monkeypatch.setattr(predict_mod, "MIX_TOPL", 10 * m)  # also exact
+    over = run()
+    for a, b in zip(full, over):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    monkeypatch.setattr(predict_mod, "MIX_TOPL", 8)       # truncated
+    trunc = run()
+    for a, b, name in zip(full, trunc, ["mu", "nu", "beta_i", "gamma",
+                                        "phi"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0.05, atol=1e-6, err_msg=name)
