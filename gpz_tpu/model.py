@@ -351,6 +351,10 @@ def train(
              else -jnp.inf),
             ravel_pytree(model.best.params)[0],
         )
+        # block before reading the timer: with every executable cached the
+        # dispatch is fully asynchronous, and an unblocked timer records
+        # ~0 s while the execution leaks into the next phase's wall
+        jax.block_until_ready(res.x)
         phase_seconds = [round(time.perf_counter() - t_phase, 2)]
         phase1_iterations = int(res.iterations)
         phase1_trace = None
@@ -413,6 +417,7 @@ def train(
                 cfg64, unravel64, args64, flat64, budget_left,
                 res.best_score, x_best64,
             )
+            jax.block_until_ready(res.x)
             phase_seconds.append(round(time.perf_counter() - t_phase, 2))
             unravel_final = unravel64
             cfg_final = cfg64
