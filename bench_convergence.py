@@ -208,6 +208,9 @@ def main():
         runs.append(("mixed", "float32", "f32"))
 
     results = []
+    mixed_fresh = mixed_warm = None  # the two headline runs, by name —
+    # positional indexing into `results` silently misattributed the
+    # north-star metric when runs were reordered (ADVICE r4 #4)
     for mode, sdt, label in runs:
         # two identical trainings in one process: run 1 pays the per-process
         # handling (jax trace + persistent-cache executable reads — no
@@ -232,19 +235,24 @@ def main():
                 None if t_hit is None else round(t_hit, 2)
             )
             results.append(out)
+            if label == "mixed":
+                if attempt == 1:
+                    mixed_fresh = out
+                else:
+                    mixed_warm = out
             print(json.dumps(out), flush=True)
             if label != "mixed":
                 break
         if label == "mixed":
             print(json.dumps({
                 "metric": "seconds_to_f64_logML_VC_m100_n70k",
-                "value": results[0]["seconds_to_target"],
+                "value": mixed_fresh["seconds_to_target"],
                 "unit": "s",
                 "vs_baseline": (
-                    None if results[0]["seconds_to_target"] is None
-                    else round(60.0 / results[0]["seconds_to_target"], 3)
+                    None if mixed_fresh["seconds_to_target"] is None
+                    else round(60.0 / mixed_fresh["seconds_to_target"], 3)
                 ),
-                "process_warm_value": results[1]["seconds_to_target"],
+                "process_warm_value": mixed_warm["seconds_to_target"],
             }))
 
     # committed artifact: the mixed-run result next to the target it chased

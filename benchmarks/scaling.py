@@ -96,12 +96,16 @@ def main():
         }))
 
     base = results[0][1] / results[0][0]
-    # efficiency is capped at 1.0: a >1 ratio is measurement noise by
-    # construction of weak scaling, never a real speedup
-    effs = {D: min(1.0, (r / D) / base) for D, r in results}
+    # the raw ratio is preserved next to the capped one: >1 is measurement
+    # noise by construction of weak scaling, but clamping alone would make
+    # a saturated measurement indistinguishable from a clean one
+    # (ADVICE r4 #5)
+    raw = {D: (r / D) / base for D, r in results}
+    effs = {D: min(1.0, e) for D, e in raw.items()}
     print(json.dumps({
         "metric": "weak_scaling_efficiency",
         "per_device": {str(D): round(e, 3) for D, e in effs.items()},
+        "per_device_raw": {str(D): round(e, 3) for D, e in raw.items()},
         "max_devices_efficiency": round(effs[results[-1][0]], 3),
     }))
 

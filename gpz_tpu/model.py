@@ -85,15 +85,37 @@ _PHASE_FUN_CACHE: dict = {}
 _PHASE_FUN_CACHE_MAX = 32
 
 
-def _phase_functions(cfg_phase, unravel_phase,
+def _param_signature(params):
+    """(treedef, shapes, dtypes) of an actual params pytree — stored with
+    each cache entry so a hit whose caller's pytree structure diverged from
+    the first caller's (e.g. params cast inconsistently with cfg.dtype)
+    fails loudly instead of silently unraveling the flat vector wrongly
+    (ADVICE r4 #2)."""
+    leaves, treedef = jax.tree.flatten(params)
+    return treedef, tuple(
+        (tuple(a.shape), jnp.asarray(a).dtype) for a in leaves
+    )
+
+
+def _phase_functions(cfg_phase, unravel_phase, param_sig,
                      complete_tr, complete_va, has_valid):
     # cfg_phase (frozen, hashable) fully determines the parameter pytree
     # structure (shapes from m/d/k/method/heteroscedastic, dtype), so the
-    # captured unravel_phase is interchangeable across calls with equal keys
+    # captured unravel_phase is interchangeable across calls with equal
+    # keys — enforced by comparing the caller's actual params signature
+    # against the one stored with the entry
     key = (cfg_phase, complete_tr, complete_va, has_valid)
     hit = _PHASE_FUN_CACHE.get(key)
     if hit is not None:
-        return hit
+        cached_sig, fns = hit
+        if cached_sig != param_sig:
+            raise RuntimeError(
+                "phase-function cache hit with mismatched parameter pytree "
+                f"structure for {cfg_phase!r}: cached {cached_sig}, "
+                f"requested {param_sig} — params were constructed "
+                "inconsistently with cfg.dtype/shape"
+            )
+        return fns
 
     vg = jax.value_and_grad(
         lambda p, d: nlog_ml(p, d, cfg_phase, complete=complete_tr),
@@ -120,7 +142,7 @@ def _phase_functions(cfg_phase, unravel_phase,
 
     if len(_PHASE_FUN_CACHE) >= _PHASE_FUN_CACHE_MAX:
         _PHASE_FUN_CACHE.pop(next(iter(_PHASE_FUN_CACHE)))
-    _PHASE_FUN_CACHE[key] = (fun, score_fn)
+    _PHASE_FUN_CACHE[key] = (param_sig, (fun, score_fn))
     return fun, score_fn
 
 
@@ -289,7 +311,7 @@ def train(
 
     flat0, unravel = ravel_pytree(model.last.params)
 
-    def make_phase(cfg_phase, unravel_phase):
+    def make_phase(cfg_phase, unravel_phase, params_phase):
         """(fun, score_fn) for one precision phase, memoized process-wide
         (see _phase_functions). Datasets ride through minimize's `args`,
         NOT the closures: closed-over arrays become compiled-in constants,
@@ -299,6 +321,7 @@ def train(
         return _phase_functions(
             cfg_phase,
             unravel_phase,
+            _param_signature(params_phase),
             complete_tr,
             complete_va if has_valid else None,
             has_valid,
@@ -311,9 +334,9 @@ def train(
     # a fresh multi-minute compile; PRECISION.md §6, ADVICE r3 #2)
     record_len = -(-(int(tc.max_iter) + 1) // 64) * 64
 
-    def run_phase(cfg_phase, unravel_phase, args_phase, x0, budget,
-                  best_score0, x_best0):
-        fun, score_fn = make_phase(cfg_phase, unravel_phase)
+    def run_phase(cfg_phase, unravel_phase, params_phase, args_phase, x0,
+                  budget, best_score0, x_best0):
+        fun, score_fn = make_phase(cfg_phase, unravel_phase, params_phase)
         return minimize(
             fun,
             x0,
@@ -346,7 +369,7 @@ def train(
         # improves keeps the old best instead of replacing it with x0
         t_phase = time.perf_counter()
         res = run_phase(
-            cfg, unravel, min_args, flat0, tc.max_iter,
+            cfg, unravel, model.last.params, min_args, flat0, tc.max_iter,
             (model.best.score if math.isfinite(model.best.score)
              else -jnp.inf),
             ravel_pytree(model.best.params)[0],
@@ -414,7 +437,7 @@ def train(
             phase1_trace = jax.tree.map(np.asarray, res.trace)
             t_phase = time.perf_counter()
             res = run_phase(
-                cfg64, unravel64, args64, flat64, budget_left,
+                cfg64, unravel64, params64, args64, flat64, budget_left,
                 res.best_score, x_best64,
             )
             jax.block_until_ready(res.x)
