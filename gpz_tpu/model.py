@@ -148,6 +148,59 @@ def _phase_functions(cfg_phase, unravel_phase, param_sig,
 
 
 
+class _LiveRowPrinter:
+    """Streamed per-iteration table row (ref GPz/callBack.m:16-46).
+
+    Called from inside the jitted training loop via `jax.debug.callback`
+    (optim.lbfgs `iter_callback`), so a multi-minute run shows progress —
+    and early stopping approaching — live, not only in the post-hoc table.
+    Instances are memoized (_live_printer): the callback's identity is a
+    static jit argument, so a fresh instance per train() call would
+    re-trace the loop and defeat the executable reuse PRECISION.md §7
+    documents. A row's wall time restarts at iteration 0 (each phase of the
+    two-phase schedule re-enters at 0, so the refine phase prints a fresh
+    header and its own clock, like the reference's tic/toc per train run).
+    The `[...]` brackets mark a new validation best (callBack.m:26-34).
+    """
+
+    def __init__(self, has_valid: bool):
+        self.has_valid = has_valid
+        self.t0 = time.perf_counter()
+
+    def __call__(self, it, f, opt_cond, step, score, improved, extras):
+        it = int(it)
+        if it == 0:
+            self.t0 = time.perf_counter()
+            if self.has_valid:
+                print("\tIter\tlogML/n\t\tTrain RMSE\tTrain MLL"
+                      "\tValid RMSE\tValid MLL\tTime", flush=True)
+            else:
+                print("\tIter\tlogML/n\t\tTime", flush=True)
+        dt = time.perf_counter() - self.t0
+        if self.has_valid:
+            vr = f"{float(extras['valid_rmse']):.5e}"
+            vl = f"{float(extras['valid_ll']):.5e}"
+            if bool(improved):
+                vr, vl = f"[{vr}]", f"[{vl}]"
+            print(
+                f"\t{it}\t{-float(f):.5e}\t"
+                f"{float(extras['train_rmse']):.5e}\t"
+                f"{float(extras['train_ll']):.5e}\t{vr}\t{vl}\t{dt:.2f}",
+                flush=True,
+            )
+        else:
+            print(f"\t{it}\t{-float(f):.5e}\t{dt:.2f}", flush=True)
+
+
+_LIVE_PRINTERS: dict = {}
+
+
+def _live_printer(has_valid: bool) -> _LiveRowPrinter:
+    if has_valid not in _LIVE_PRINTERS:
+        _LIVE_PRINTERS[has_valid] = _LiveRowPrinter(has_valid)
+    return _LIVE_PRINTERS[has_valid]
+
+
 def _make_dataset(Xn, Yc, psi, omega, rows, dtype) -> Dataset:
     Xr = Xn[rows]
     mask = ~np.isnan(Xr)
@@ -353,6 +406,9 @@ def train(
             init_best_score=best_score0,
             x_best0=x_best0,
             record_len=record_len,
+            # live row streaming (ref callBack.m): memoized so the callback
+            # identity — a static jit arg — stays stable across train() calls
+            iter_callback=_live_printer(has_valid) if tc.verbose else None,
         )
 
     min_args = (data_tr, data_va) if has_valid else (data_tr,)

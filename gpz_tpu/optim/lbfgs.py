@@ -414,6 +414,7 @@ def minimize(
     init_best_score: Optional[jax.Array] = None,
     x_best0: Optional[jax.Array] = None,
     record_len: Optional[int] = None,
+    iter_callback: Optional[Callable] = None,
 ) -> MinimizeResult:
     """Minimize fun(x) -> (f, g, aux) by L-BFGS with strong-Wolfe search.
 
@@ -439,6 +440,14 @@ def minimize(
     cache; a budget that crosses a bucket boundary still compiles fresh.
     `max_iter` must be a concrete Python int here (it sizes host-side
     buffers); pass `record_len` explicitly to pin the bucket.
+
+    `iter_callback(it, f, opt_cond, step, score, improved, extras)` — an
+    optional host callback streamed one row per iteration from INSIDE the
+    jitted loop via `jax.debug.callback` (the live version of the
+    reference's per-iteration table, ref GPz/callBack.m:16-46 — without it
+    a multi-minute run gives zero feedback until the while_loop returns).
+    Its identity is a static jit argument: pass a memoized function, not a
+    fresh closure per call, or every call re-traces the loop.
     """
     max_iter = int(max_iter)
     if record_len is None:
@@ -453,17 +462,21 @@ def minimize(
         max_iter,
         opt_tol, prog_tol, c1, c2, max_ls, score_fn,
         2**31 - 1 if max_attempts is None else int(max_attempts),
-        init_best_score, x_best0, record_len,
+        init_best_score, x_best0, record_len, iter_callback,
     )
 
 
 @partial(
     jax.jit,
-    static_argnames=("fun", "score_fn", "history", "max_ls", "record_len"),
+    static_argnames=(
+        "fun", "score_fn", "history", "max_ls", "record_len",
+        "iter_callback",
+    ),
 )
 def _minimize(
     fun, x0, args, history, max_iter, opt_tol, prog_tol, c1, c2, max_ls,
     score_fn, max_attempts, init_best_score, x_best0, record_len,
+    iter_callback,
 ) -> MinimizeResult:
     p = x0.shape[0]
     dtype = x0.dtype
@@ -523,6 +536,21 @@ def _minimize(
 
     trace0 = record(
         trace0, 0, f0, jnp.max(jnp.abs(g0)), 0.0, score0, 1, extras0
+    )
+
+    def emit_row(it, f, opt_cond, step, score, improved, extras):
+        # streamed host print (ref callBack.m:16-46); unordered is fine —
+        # rows carry their own iteration index
+        if iter_callback is not None:
+            jax.debug.callback(
+                iter_callback, it, f, opt_cond, step, score, improved,
+                extras,
+            )
+
+    emit_row(
+        jnp.zeros((), jnp.int32), f0, jnp.max(jnp.abs(g0)),
+        jnp.zeros((), dtype), score0,
+        jnp.asarray(score0 >= init_best_score), extras0,
     )
 
     # best tracking starts from the provided floor (model.best.LL, train.m:8-9)
@@ -666,6 +694,7 @@ def _minimize(
         trace = record(
             s.trace, it, f_new, opt_cond, t, score, s.fevals + ls_evals, extras
         )
+        emit_row(it, f_new, opt_cond, t, score, improved, extras)
 
         return _OptState(
             x=x_new,

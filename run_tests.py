@@ -29,7 +29,8 @@ BATCHES = [
     ["test_checkpoint.py", "test_cli.py", "test_collective_adapt.py",
      "test_continuation.py", "test_ensemble.py", "test_inference.py"],
     ["test_distributed.py"],
-    ["test_lbfgs.py", "test_linalg.py", "test_model_2d.py"],
+    ["test_lbfgs.py", "test_linalg.py", "test_live_progress.py",
+     "test_model_2d.py"],
     ["test_model_photoz.py", "test_model_sinc.py", "test_native.py",
      "test_nuts.py"],
     ["test_objective.py", "test_ops.py", "test_ozaki.py"],
