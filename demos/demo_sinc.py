@@ -68,6 +68,41 @@ def main():
     print("RMSE\t\tMLL")
     print(f"{rmse:.6f}\t{mll:.6f}")
 
+    # posterior-sample curves (ref demo_sinc.m:77-87): draw weight samples
+    # from N(w, SIGMA^-1) and push them through the design matrix on a
+    # dense grid. The sampled-curve spread should blow up inside the
+    # training gap and stay tight on-support — the same story the
+    # reference's plot tells, summarized numerically (and plotted when
+    # matplotlib is importable).
+    Xs = np.linspace(-10, 10, 500)
+    grid = gpz_tpu.predict(Xs[:, None], model)
+    ws = gpz_tpu.sample_weights(model, n_samples=20, seed=args.seed)
+    mus = grid.phi @ ws[:, 0, :] + model.muY[0]          # (500, 20)
+    spread = mus.std(axis=1)
+    in_gap = (Xs > -7) & (Xs < -2)
+    print("Posterior-sample curves (20 draws from N(w, iSigma_w)):")
+    print(f"  mean curve spread in the training gap:  {spread[in_gap].mean():.4f}")
+    print(f"  mean curve spread on-support:           {spread[~in_gap].mean():.4f}")
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        band = 2.0 * np.sqrt(grid.sigma[:, 0])
+        plt.fill_between(Xs, grid.mu[:, 0] - band, grid.mu[:, 0] + band,
+                         color="0.85", label=r"$\pm 2\sigma(x)$")
+        plt.plot(X, Y, "b.", markersize=2)
+        plt.plot(Xs, mus, linewidth=0.5)
+        plt.plot(Xs, fx(Xs), "k-", linewidth=2, label="sinc(x)")
+        plt.plot(Xs, grid.mu[:, 0], "r-", linewidth=2, label=r"$\mu(x)$")
+        plt.legend(loc="upper left")
+        out_png = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "sinc_posterior_samples.png")
+        plt.savefig(out_png, dpi=120)
+        print(f"  wrote {out_png}")
+    except ImportError:
+        pass
+
 
 if __name__ == "__main__":
     main()

@@ -98,9 +98,11 @@ from gpz_tpu.config import ModelConfig, TrainConfig, PredictConfig
 from gpz_tpu.params import GPzParams
 from gpz_tpu.dataset import Dataset
 try:  # model layer lands after the numerics substrate during bring-up
-    from gpz_tpu.model import GPzModel, init, train, predict  # noqa: E402
+    from gpz_tpu.model import (  # noqa: E402
+        GPzModel, init, train, predict, sample_weights,
+    )
 except ImportError:  # pragma: no cover
-    GPzModel = init = train = predict = None
+    GPzModel = init = train = predict = sample_weights = None
 from gpz_tpu import linalg, metrics, datautils  # noqa: E402
 
 __version__ = "0.1.0"
@@ -115,6 +117,7 @@ __all__ = [
     "init",
     "train",
     "predict",
+    "sample_weights",
     "linalg",
     "metrics",
     "datautils",

@@ -98,8 +98,18 @@ MISSING_PAIR_BUDGET = int(
 #: handful of bases on trained models. Keeping each row's top-L components
 #: (renormalized) cuts the scans from m to L steps — the dominant cost of
 #: missing-data prediction at m=1000 (19 rows/s in round 3, VERDICT item 6).
-#: L >= m disables truncation exactly.
+#: L >= m disables truncation exactly. Truncation is GUARDED, not blind
+#: (ADVICE r4 #1: with flat responsibilities — untrained models, rows with
+#: few observed dims — the dropped mass is unbounded): predict_moments_full
+#: reports the minimum per-row top-L softmax mass, and the model.predict
+#: driver re-runs a batch with the exact full sum whenever coverage falls
+#: below MIX_COVERAGE_MIN.
 MIX_TOPL = int(os.environ.get("GPZ_MIX_TOPL", "64"))
+
+#: minimum per-row top-L responsibility mass below which the driver escalates
+#: a truncated batch to the exact mixture (dropped mass <= 1 - this, i.e.
+#: ~1e-6 relative on every mixture sum — below the chain's other floors)
+MIX_COVERAGE_MIN = float(os.environ.get("GPZ_MIX_COVERAGE_MIN", "0.999999"))
 
 
 def variance_dtype():
@@ -304,7 +314,8 @@ def predict_moments_diag(params, post, priors, cfg: ModelConfig, X,
 # --------------------------------------------------------------------------
 
 def predict_moments_full(params, post, priors, cfg: ModelConfig, X,
-                         mask_vec, psi, complete: bool):
+                         mask_vec, psi, complete: bool,
+                         mix_topl: int = None, return_coverage: bool = False):
     """Unified moment-matched prediction, full-covariance family (GC/VC).
 
     Equivalent to ref predictCov.m predictNoisy (70-133), predictMissing
@@ -317,6 +328,10 @@ def predict_moments_full(params, post, priors, cfg: ModelConfig, X,
     which reduce to X_hat = x, Psi_hat = Psi when nothing is missing.
 
     psi: (n, d, d) (zeros when none).
+    mix_topl: static mixture-truncation width (None -> module MIX_TOPL).
+    return_coverage: append the minimum per-row top-L responsibility mass
+    (1.0 when no truncation applies) so the driver can detect flat
+    responsibilities and escalate to the exact sum (see MIX_COVERAGE_MIN).
     """
     n, d = X.shape
     m, k = cfg.m, cfg.k
@@ -358,6 +373,7 @@ def predict_moments_full(params, post, priors, cfg: ModelConfig, X,
         X_hat = jnp.broadcast_to(X[:, None, :], (n, m, d))
         Psi_hat = jnp.broadcast_to(psi[:, None], (n, m, d, d))
         PHI = jnp.exp(lnz)[None, :] * jnp.exp(lnNo)
+        coverage = jnp.ones((), X.dtype)
     else:
         logits = lnNo + _log_priors(priors)[None, :]
         Pio = jax.nn.softmax(logits, axis=1)                   # (n, m)
@@ -390,9 +406,10 @@ def predict_moments_full(params, post, priors, cfg: ModelConfig, X,
         # responsibilities, renormalized so the conditional mixture still
         # integrates to 1; L >= m reduces to the exact full sum (top_k of
         # all m is a permutation and the renormalizer is sum(softmax) == 1)
-        L = min(m, MIX_TOPL)
+        L = min(m, MIX_TOPL if mix_topl is None else int(mix_topl))
         if L < m:
             pio_t, idx = jax.lax.top_k(Pio, L)                     # (n, L)
+            coverage = jnp.min(jnp.sum(pio_t, axis=1))
             pio_t = pio_t / jnp.sum(pio_t, axis=1, keepdims=True)
             Xh_t = jnp.take_along_axis(X_hat, idx[:, :, None], axis=1)
             Ph_t = jnp.take_along_axis(
@@ -400,6 +417,7 @@ def predict_moments_full(params, post, priors, cfg: ModelConfig, X,
             )
         else:
             pio_t, Xh_t, Ph_t = Pio, X_hat, Psi_hat
+            coverage = jnp.ones((), X.dtype)
 
         # PHI_i = exp(lnz_i) sum_j Pio_j N(X_hat_j; P_i, Sigma_i + Psi_hat_j),
         # as a scan over mixture components j so the peak intermediate is
@@ -503,4 +521,6 @@ def predict_moments_full(params, post, priors, cfg: ModelConfig, X,
 
     ElnS_b = ElnS + b[None, :]
     beta_i = jnp.exp(ElnS_b) * (1.0 + 0.5 * VlnS)
+    if return_coverage:
+        return mu, nu, beta_i, gamma, PHI, coverage
     return mu, nu, beta_i, gamma, PHI

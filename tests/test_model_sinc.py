@@ -169,3 +169,30 @@ def test_stitch_preserves_unrecorded_sentinel():
     trace, iters, _ = stitch_phase_traces(t1, 1, t2, 2, fun_evals2=5)
     np.testing.assert_array_equal(trace["fevals"], [1, 2, 3, -1, -1])
     assert iters == 4
+
+
+def test_sample_weights_matches_posterior_moments(trained):
+    # the posterior-sample draw of ref demo_sinc.m:77-87: ws ~ N(w, iSigma_w)
+    model = trained[0]
+    S = 20_000
+    ws = gpz_tpu.sample_weights(model, n_samples=S, seed=3)   # (m, k, S)
+    w = np.asarray(model.best.post.w, dtype=np.float64)
+    C = np.asarray(model.best.post.iSigma_w, dtype=np.float64)[0]
+    m = w.shape[0]
+    assert ws.shape == (m, 1, S)
+    draws = ws[:, 0, :]
+    scale = np.sqrt(np.diag(C))
+    # sample mean -> w at the 1/sqrt(S) rate (5-sigma band ~ 0.035 scales)
+    err = np.abs(draws.mean(axis=1) - w[:, 0]) / (scale + 1e-12)
+    assert np.all(err < 5.0 / np.sqrt(S)), err.max()
+    # sample covariance -> iSigma_w (relative to the diagonal scale)
+    emp = np.cov(draws)
+    denom = np.outer(scale, scale) + 1e-12
+    assert np.max(np.abs(emp - C) / denom) < 0.15
+
+
+def test_sample_weights_seed_reproducible(trained):
+    model = trained[0]
+    a = gpz_tpu.sample_weights(model, n_samples=4, seed=7)
+    b = gpz_tpu.sample_weights(model, n_samples=4, seed=7)
+    np.testing.assert_array_equal(a, b)
