@@ -89,6 +89,8 @@ class _LSState(NamedTuple):
     bracketed: jax.Array
     failed: jax.Array
     saw_finite: jax.Array  # any trial evaluated to a finite f
+    pending: jax.Array     # the initial trial t0 has not been evaluated yet
+    unprocessed: jax.Array  # the last eval has not been classified yet
     # bracket endpoints (set when bracketed)
     t_lo: jax.Array
     f_lo: jax.Array
@@ -105,6 +107,24 @@ def wolfe_line_search(fun, x, f0, g0, d, t0, c1, c2, max_ls, prog_tol, aux0):
 
     Returns (t, f, g, aux, n_evals, failed). On failure t == 0 and the initial
     point is returned.
+
+    ONE fused while_loop with a SINGLE objective call site. The reference
+    (and rounds 1-4 here) structure the search as two loops — bracketing
+    then zoom — each containing its own objective evaluation; inlined into
+    the jit-compiled training loop that tripled the objective's footprint
+    in the compiled program (~56 MB executable / multi-minute XLA compile /
+    ~25 s warm persistent-cache read through the tunnel at the north-star
+    shape — PRECISION.md §6-7, the fresh-process wall-clock tax of VERDICT
+    r4 next #1). The fused loop carries a phase flag instead: each
+    iteration CLASSIFIES the previously evaluated trial under the rules of
+    the current phase (bracketing: WolfeLineSearch.m:50-119; zoom:
+    WolfeLineSearch.m:135-241), proposes the next trial (cubic
+    extrapolation / safeguarded cubic interpolation), and evaluates it at
+    the one shared call site. Semantics match the two-loop version
+    trial-for-trial, with one deliberate exception: a trial evaluated on
+    the last budgeted iteration is still classified (one more loop trip
+    with no eval), so a Wolfe-satisfying final trial is returned instead
+    of discarded.
     """
     gtd0 = jnp.vdot(g0, d)
     dtype = x.dtype  # step-scalar dtype: the objective VALUE may be wider
@@ -123,84 +143,144 @@ def wolfe_line_search(fun, x, f0, g0, d, t0, c1, c2, max_ls, prog_tol, aux0):
         g = jnp.where(bad, jnp.zeros_like(g), g)
         return f, g, aux
 
-    f_t0, g_t0, aux_t0 = eval_at(t0)
+    tw = lambda c, a, b: jax.tree.map(        # noqa: E731
+        lambda u, v: jnp.where(c, u, v), a, b
+    )
 
     init = _LSState(
         t=t0,
-        f_new=f_t0,
-        g_new=g_t0,
-        aux_new=aux_t0,
+        f_new=f0,     # placeholders until the pending initial eval
+        g_new=g0,
+        aux_new=aux0,
         t_prev=jnp.zeros((), dtype),
         f_prev=f0,
         gtd_prev=gtd0,
         g_prev=g0,
         aux_prev=aux0,
-        ls_iter=jnp.ones((), jnp.int32),
+        ls_iter=jnp.zeros((), jnp.int32),
         done=jnp.zeros((), bool),
         bracketed=jnp.zeros((), bool),
         failed=jnp.zeros((), bool),
-        saw_finite=jnp.isfinite(f_t0),
+        saw_finite=jnp.zeros((), bool),
+        pending=jnp.ones((), bool),
+        unprocessed=jnp.zeros((), bool),
         t_lo=jnp.zeros((), dtype),
         f_lo=f0,
         gtd_lo=gtd0,
         g_lo=g0,
         aux_lo=aux0,
         t_hi=t0,
-        f_hi=f_t0,
-        gtd_hi=jnp.vdot(g_t0, d),
+        f_hi=f0,
+        gtd_hi=gtd0,
     )
 
-    # ---- phase 1: bracketing (WolfeLineSearch.m:50-119) ----
-    def brk_cond(s: _LSState):
-        return (~s.done) & (~s.bracketed) & (s.ls_iter < max_ls) & (~s.failed)
+    def cond(s: _LSState):
+        # work remains while the initial eval is pending or the last eval
+        # still needs classification; done/failed exit immediately
+        return (~s.done) & (~s.failed) & (s.pending | s.unprocessed)
 
-    def brk_body(s: _LSState):
+    def body(s: _LSState):
         gtd_new = jnp.vdot(s.g_new, d)
-        armijo_fail = (s.f_new > f0 + c1 * s.t * gtd0) | (
-            (s.ls_iter > 1) & (s.f_new >= s.f_prev)
-        )
+        proc = ~s.pending            # there is an eval to classify
+        in_brk = ~s.bracketed
+
+        # ---- classify the last trial under the current phase's rules ----
+        armijo0 = s.f_new > f0 + c1 * s.t * gtd0
         wolfe_ok = jnp.abs(gtd_new) <= -c2 * gtd0
-        curv_pos = gtd_new >= 0
 
-        bracketed = armijo_fail | (~wolfe_ok & curv_pos)
-        done = ~armijo_fail & wolfe_ok
+        # bracketing rules (WolfeLineSearch.m:50-119)
+        af_b = armijo0 | ((s.ls_iter > 1) & (s.f_new >= s.f_prev))
+        newly = proc & in_brk & (af_b | (~wolfe_ok & (gtd_new >= 0)))
+        done_b = proc & in_brk & ~af_b & wolfe_ok
 
-        # bracket: [prev, new] (lo/hi resolved in zoom by f ordering)
-        t_lo = jnp.where(bracketed, s.t_prev, s.t_lo)
-        f_lo = jnp.where(bracketed, s.f_prev, s.f_lo)
-        gtd_lo = jnp.where(bracketed, s.gtd_prev, s.gtd_lo)
-        g_lo = jax.tree.map(
-            lambda a, b: jnp.where(bracketed, a, b), s.g_prev, s.g_lo
+        # zoom rules (WolfeLineSearch.m:135-241)
+        af_z = armijo0 | (s.f_new >= s.f_lo)
+        zoom_proc = proc & ~in_brk
+        done_z = zoom_proc & ~af_z & wolfe_ok
+        flip = gtd_new * (s.t_hi - s.t_lo) >= 0
+
+        done = done_b | done_z
+
+        # bracket set on the bracketing->zoom transition: [prev, new]
+        # (lo/hi roles resolved by the zoom updates' f ordering)
+        t_lo = jnp.where(newly, s.t_prev, s.t_lo)
+        f_lo = jnp.where(newly, s.f_prev, s.f_lo)
+        gtd_lo = jnp.where(newly, s.gtd_prev, s.gtd_lo)
+        g_lo = tw(newly, s.g_prev, s.g_lo)
+        aux_lo = tw(newly, s.aux_prev, s.aux_lo)
+        t_hi = jnp.where(newly, s.t, s.t_hi)
+        f_hi = jnp.where(newly, s.f_new, s.f_hi)
+        gtd_hi = jnp.where(newly, gtd_new, s.gtd_hi)
+
+        # zoom bracket updates: hi <- t on Armijo failure, else old lo when
+        # the derivative sign flips; lo <- t unless Armijo failed
+        z_hi = zoom_proc & af_z
+        z_hi_flip = zoom_proc & ~af_z & flip
+        t_hi = jnp.where(z_hi, s.t, jnp.where(z_hi_flip, s.t_lo, t_hi))
+        f_hi = jnp.where(z_hi, s.f_new, jnp.where(z_hi_flip, s.f_lo, f_hi))
+        gtd_hi = jnp.where(
+            z_hi, gtd_new, jnp.where(z_hi_flip, s.gtd_lo, gtd_hi)
         )
-        aux_lo = jax.tree.map(
-            lambda a, b: jnp.where(bracketed, a, b), s.aux_prev, s.aux_lo
-        )
-        t_hi = jnp.where(bracketed, s.t, s.t_hi)
-        f_hi = jnp.where(bracketed, s.f_new, s.f_hi)
-        gtd_hi = jnp.where(bracketed, gtd_new, s.gtd_hi)
+        upd_lo = zoom_proc & ~af_z
+        t_lo = jnp.where(upd_lo, s.t, t_lo)
+        f_lo = jnp.where(upd_lo, s.f_new, f_lo)
+        gtd_lo = jnp.where(upd_lo, gtd_new, gtd_lo)
+        g_lo = tw(upd_lo, s.g_new, g_lo)
+        aux_lo = tw(upd_lo, s.aux_new, aux_lo)
 
-        # extrapolate (minFunc: minStep = t + 0.01 (t - t_prev), maxStep = 10 t)
+        # zoom give-up when the bracket can no longer make progress — ONLY
+        # on a finite trial: a non-finite trial carries a sentinel zeroed
+        # gradient (eval_at), and |0|*width < prog_tol would abort
+        # instantly. The reference instead keeps shrinking the step until
+        # evals are finite (WolfeLineSearch.m:53-69 -> ArmijoBacktrack.m);
+        # here the shrinking is the f_hi=inf midpoint bisection below,
+        # budgeted by max_ls.
+        stall = jnp.isfinite(s.f_new) & (
+            jnp.abs(gtd_new) * jnp.abs(t_hi - t_lo) < prog_tol
+        )
+        failed = zoom_proc & ~done_z & stall
+
+        bracketed = s.bracketed | newly
+
+        # ---- propose the next trial ----
+        # bracketing: cubic extrapolation in [t + 0.01 (t - t_prev), 10 t]
         min_step = s.t + 0.01 * (s.t - s.t_prev)
         max_step = s.t * 10.0
-        t_next = _cubic_min(
+        t_ext = _cubic_min(
             s.t_prev, s.f_prev, s.gtd_prev, s.t, s.f_new, gtd_new,
             min_step, max_step,
         ).astype(s.t.dtype)
-        t_next = jnp.where(jnp.isfinite(s.f_new), t_next, s.t * 0.5)
+        t_ext = jnp.where(jnp.isfinite(s.f_new), t_ext, s.t * 0.5)
 
-        cont = ~(done | bracketed)
-        t_prev = jnp.where(cont, s.t, s.t_prev)
-        f_prev = jnp.where(cont, s.f_new, s.f_prev)
-        gtd_prev = jnp.where(cont, gtd_new, s.gtd_prev)
-        g_prev = jax.tree.map(lambda a, b: jnp.where(cont, a, b), s.g_new, s.g_prev)
-        aux_prev = jax.tree.map(
-            lambda a, b: jnp.where(cont, a, b), s.aux_new, s.aux_prev
+        # zoom: safeguarded cubic interpolation on the UPDATED bracket,
+        # kept strictly interior (minFunc insufficient-progress rule);
+        # midpoint when the hi endpoint is non-finite
+        lo_b = jnp.minimum(t_lo, t_hi)
+        hi_b = jnp.maximum(t_lo, t_hi)
+        width = hi_b - lo_b
+        t_z = _cubic_min(
+            t_lo, f_lo, gtd_lo, t_hi, f_hi, gtd_hi, lo_b, hi_b,
+        ).astype(s.t.dtype)
+        t_z = jnp.clip(t_z, lo_b + 0.1 * width, hi_b - 0.1 * width)
+        t_z = jnp.where(jnp.isfinite(f_hi), t_z, 0.5 * (lo_b + hi_b))
+
+        t_next = jnp.where(
+            s.pending, s.t, jnp.where(bracketed, t_z, t_ext)
         )
-        t_eval = jnp.where(cont, t_next, s.t)
-        # evaluate the next trial only when continuing (skips one full
-        # objective eval on the terminating iteration)
+
+        # bracketing shift prev <- current when continuing the extrapolation
+        shift = proc & in_brk & ~newly & ~done
+        t_prev = jnp.where(shift, s.t, s.t_prev)
+        f_prev = jnp.where(shift, s.f_new, s.f_prev)
+        gtd_prev = jnp.where(shift, gtd_new, s.gtd_prev)
+        g_prev = tw(shift, s.g_new, s.g_prev)
+        aux_prev = tw(shift, s.aux_new, s.aux_prev)
+
+        # ---- the single objective call site ----
+        do_eval = (~done) & (~failed) & (s.ls_iter < max_ls)
+        t_eval = jnp.where(do_eval, t_next, s.t)
         f_new, g_new, aux_new = lax.cond(
-            cont,
+            do_eval,
             lambda: eval_at(t_eval),
             lambda: (s.f_new, s.g_new, s.aux_new),
         )
@@ -215,104 +295,13 @@ def wolfe_line_search(fun, x, f0, g0, d, t0, c1, c2, max_ls, prog_tol, aux0):
             gtd_prev=gtd_prev,
             g_prev=g_prev,
             aux_prev=aux_prev,
-            ls_iter=s.ls_iter + jnp.where(cont, 1, 0),
+            ls_iter=s.ls_iter + jnp.where(do_eval, 1, 0),
             done=done,
             bracketed=bracketed,
-            saw_finite=s.saw_finite | jnp.isfinite(f_new),
-            t_lo=t_lo,
-            f_lo=f_lo,
-            gtd_lo=gtd_lo,
-            g_lo=g_lo,
-            aux_lo=aux_lo,
-            t_hi=t_hi,
-            f_hi=f_hi,
-            gtd_hi=gtd_hi,
-        )
-
-    s = lax.while_loop(brk_cond, brk_body, init)
-
-    # ran out of bracketing budget without satisfying Wolfe: treat [0, t] as
-    # the bracket (minFunc.m behavior when LSiter == maxLS)
-    exhausted = (~s.done) & (~s.bracketed)
-    s = s._replace(
-        bracketed=s.bracketed | exhausted,
-        t_lo=jnp.where(exhausted, 0.0, s.t_lo),
-        f_lo=jnp.where(exhausted, f0, s.f_lo),
-        gtd_lo=jnp.where(exhausted, gtd0, s.gtd_lo),
-        g_lo=jax.tree.map(lambda a, b: jnp.where(exhausted, a, b), g0, s.g_lo),
-        aux_lo=jax.tree.map(
-            lambda a, b: jnp.where(exhausted, a, b), aux0, s.aux_lo
-        ),
-        t_hi=jnp.where(exhausted, s.t, s.t_hi),
-        f_hi=jnp.where(exhausted, s.f_new, s.f_hi),
-        gtd_hi=jnp.where(exhausted, jnp.vdot(s.g_new, d), s.gtd_hi),
-    )
-
-    # ---- phase 2: zoom (WolfeLineSearch.m:135-241) ----
-    # invariant maintained: (t_lo, f_lo) is the lower-f endpoint satisfying
-    # the Armijo condition; returns lo on give-up.
-    def zoom_cond(s: _LSState):
-        return (~s.done) & s.bracketed & (s.ls_iter < max_ls) & (~s.failed)
-
-    def zoom_body(s: _LSState):
-        # order endpoints for the safeguard
-        lo_b = jnp.minimum(s.t_lo, s.t_hi)
-        hi_b = jnp.maximum(s.t_lo, s.t_hi)
-        width = hi_b - lo_b
-        t = _cubic_min(
-            s.t_lo, s.f_lo, s.gtd_lo, s.t_hi, s.f_hi, s.gtd_hi,
-            lo_b, hi_b,
-        ).astype(s.t.dtype)
-        # safeguard: keep strictly interior (minFunc insufficient-progress rule)
-        t = jnp.clip(t, lo_b + 0.1 * width, hi_b - 0.1 * width)
-        t = jnp.where(jnp.isfinite(s.f_hi), t, 0.5 * (lo_b + hi_b))
-
-        f_new, g_new, aux_new = eval_at(t)
-        gtd_new = jnp.vdot(g_new, d)
-
-        armijo_fail = (f_new > f0 + c1 * t * gtd0) | (f_new >= s.f_lo)
-        wolfe_ok = jnp.abs(gtd_new) <= -c2 * gtd0
-        flip = gtd_new * (s.t_hi - s.t_lo) >= 0
-
-        done = (~armijo_fail) & wolfe_ok
-
-        # new hi: t if armijo failed; else old lo if flip
-        t_hi = jnp.where(armijo_fail, t, jnp.where(flip, s.t_lo, s.t_hi))
-        f_hi = jnp.where(armijo_fail, f_new, jnp.where(flip, s.f_lo, s.f_hi))
-        gtd_hi = jnp.where(
-            armijo_fail, gtd_new, jnp.where(flip, s.gtd_lo, s.gtd_hi)
-        )
-        # new lo: t unless armijo failed
-        upd_lo = ~armijo_fail
-        t_lo = jnp.where(upd_lo, t, s.t_lo)
-        f_lo = jnp.where(upd_lo, f_new, s.f_lo)
-        gtd_lo = jnp.where(upd_lo, gtd_new, s.gtd_lo)
-        g_lo = jax.tree.map(lambda a, b: jnp.where(upd_lo, a, b), g_new, s.g_lo)
-        aux_lo = jax.tree.map(
-            lambda a, b: jnp.where(upd_lo, a, b), aux_new, s.aux_lo
-        )
-
-        # give up when the bracket can no longer make progress — but ONLY on
-        # a finite trial: a non-finite trial carries a sentinel zeroed
-        # gradient (eval_at), and |0|*width < prog_tol would abort instantly.
-        # The reference instead keeps shrinking the step until evals are
-        # finite (WolfeLineSearch.m:53-69 -> ArmijoBacktrack.m); here the
-        # shrinking is the bisection above (f_hi=inf forces the midpoint),
-        # budgeted by max_ls.
-        stall = jnp.isfinite(f_new) & (
-            jnp.abs(gtd_new) * jnp.abs(t_hi - t_lo) < prog_tol
-        )
-        failed = (~done) & stall
-
-        return s._replace(
-            t=t,
-            f_new=f_new,
-            g_new=g_new,
-            aux_new=aux_new,
-            ls_iter=s.ls_iter + 1,
-            done=done,
             failed=failed,
-            saw_finite=s.saw_finite | jnp.isfinite(f_new),
+            saw_finite=s.saw_finite | (do_eval & jnp.isfinite(f_new)),
+            pending=jnp.zeros((), bool),
+            unprocessed=do_eval,
             t_lo=t_lo,
             f_lo=f_lo,
             gtd_lo=gtd_lo,
@@ -323,7 +312,7 @@ def wolfe_line_search(fun, x, f0, g0, d, t0, c1, c2, max_ls, prog_tol, aux0):
             gtd_hi=gtd_hi,
         )
 
-    s = lax.while_loop(zoom_cond, zoom_body, s)
+    s = lax.while_loop(cond, body, init)
 
     # resolve the result: Wolfe point if done; else bracket-lo if it improves
     # on f0; else fail
@@ -578,6 +567,16 @@ def _minimize(
     opt0_done = jnp.max(jnp.abs(g0)) <= opt_tol
     state = state._replace(
         status=jnp.where(opt0_done, STATUS_OPTIMAL, state.status)
+    )
+    # a non-finite objective AT THE STARTING POINT poisons every Armijo /
+    # curvature comparison (NaN compares false), so the search would burn
+    # its whole max_ls eval budget learning nothing — exit immediately
+    # instead; the caller's precision escalation (model.train refine)
+    # reacts to the failed status. Trial-point non-finiteness stays handled
+    # inside the line search (backtracking), this is only about x0.
+    bad0 = ~jnp.isfinite(f0) | ~jnp.all(jnp.isfinite(g0))
+    state = state._replace(
+        status=jnp.where(bad0, STATUS_LS_FAILED, state.status)
     )
 
     def cond(s: _OptState):
