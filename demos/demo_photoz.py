@@ -26,6 +26,9 @@ from gpz_tpu import metrics as M
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on the CPU backend (the axon TPU plugin "
+                    "is forced via sitecustomize; env vars are too late)")
     ap.add_argument("--data", default=None)
     ap.add_argument("--n", type=int, default=60_000)
     ap.add_argument("--m", type=int, default=100)
@@ -40,6 +43,11 @@ def main():
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--out", default=None, help="csv path for predictions")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     if args.data:
         mags, errs, z = load_sdss_csv(args.data)

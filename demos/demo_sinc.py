@@ -19,6 +19,9 @@ import gpz_tpu
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on the CPU backend (the axon TPU plugin "
+                    "is forced via sitecustomize; env vars are too late)")
     ap.add_argument("--m", type=int, default=100)
     ap.add_argument("--method", default="VL")
     ap.add_argument("--max-iter", type=int, default=500)
@@ -28,6 +31,11 @@ def main():
     ap.add_argument("--dtype", default="float64")
     ap.add_argument("--seed", type=int, default=1)
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     rng = np.random.default_rng(args.seed)
     fx = lambda x: np.sinc(x / math.pi)  # sin(x)/x

@@ -48,6 +48,13 @@ class ModelConfig:
     #              with cross-block accumulation in solve_dtype. Per-entry
     #              error ~sqrt(block) * eps_f32 independent of n; measured
     #              agreement with strict recorded in PRECISION.md.
+    #   "mixed_strict" — mixed Gram reductions but the m x m solve PINNED to
+    #              the strict f64 factorization (no equilibrated-f32 fast
+    #              attempt). train() selects this when its x0 probe finds
+    #              the fast solve would fall back at the starting iterate —
+    #              late-training Grams (cond ~ 1e9) otherwise pay the failed
+    #              fast attempt PLUS the strict fallback on every eval
+    #              (VERDICT r4 #2).
     #   "auto"   — "strict" on CPU, "mixed" on accelerators.
     solve_mode: str = "auto"
 
@@ -58,7 +65,7 @@ class ModelConfig:
             raise ValueError("m, d, k must be positive")
         if self.solve_dtype not in ("auto", "float32", "float64"):
             raise ValueError(f"bad solve_dtype {self.solve_dtype!r}")
-        if self.solve_mode not in ("auto", "strict", "mixed"):
+        if self.solve_mode not in ("auto", "strict", "mixed", "mixed_strict"):
             raise ValueError(f"bad solve_mode {self.solve_mode!r}")
 
     def resolved_solve_dtype(self) -> str:

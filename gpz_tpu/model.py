@@ -27,7 +27,10 @@ from gpz_tpu.config import ModelConfig, TrainConfig
 from gpz_tpu.dataset import Dataset
 from gpz_tpu.params import GPzParams
 from gpz_tpu import datautils
-from gpz_tpu.objective import nlog_ml, posterior, holdout_metrics, Posterior
+from gpz_tpu.objective import (
+    nlog_ml, posterior, holdout_metrics, probe_phase, ozaki_active,
+    Posterior,
+)
 from gpz_tpu.prior import get_prior
 from gpz_tpu.optim import minimize
 from gpz_tpu import predict as predict_mod
@@ -72,6 +75,7 @@ def _np_dev(x, dtype):
 # seconds on a remote-compile backend, PRECISION.md §6)
 _posterior_jit = jax.jit(posterior, static_argnames=("cfg", "complete"))
 _prior_jit = jax.jit(get_prior, static_argnames=("cfg", "complete"))
+_probe_jit = jax.jit(probe_phase, static_argnames=("cfg", "complete"))
 
 #: memoized per-(config, param structure, data completeness) phase closures.
 #: minimize() keys its jit cache on the IDENTITY of `fun`/`score_fn`
@@ -413,6 +417,60 @@ def train(
 
     min_args = (data_tr, data_va) if has_valid else (data_tr,)
 
+    def f64_ingredients(flat_src, unravel_src, x_best_src):
+        """Phase ingredients recast float64 end-to-end (cfg, data, args,
+        params, flat, unravel, x_best) — used by both the post-stall refine
+        phase and a probe-forced f64 start."""
+        cfg64 = dataclasses.replace(
+            cfg, dtype="float64", solve_mode="strict", solve_dtype="float64",
+        )
+        data64 = _make_dataset(Xn, Yc, psi_c, omega, training, jnp.float64)
+        args64 = (data64,)
+        if has_valid:
+            args64 = (data64, _make_dataset(
+                Xn, Yc, psi_c, omega, validation, jnp.float64
+            ))
+        params64 = jax.tree.map(
+            lambda a: a.astype(jnp.float64), unravel_src(flat_src)
+        )
+        flat64, unravel64 = ravel_pytree(params64)
+        x_best64 = ravel_pytree(jax.tree.map(
+            lambda a: a.astype(jnp.float64), unravel_src(x_best_src)
+        ))[0]
+        return cfg64, data64, args64, params64, flat64, unravel64, x_best64
+
+    # ---- solve-path probe at x0 (objective.probe_phase) ----
+    # Only previously-trained models are probed (fresh inits are always in
+    # the easy regime; math.isfinite(best.score) is the trained marker that
+    # survives checkpoints): a trained iterate can sit beyond the f32
+    # pipeline's representable regime (non-finite mixed objective on TPU —
+    # measured at the trained photo-z point, cond(iSig) ~ 3e9), or carry a
+    # Gram whose equilibrated-f32 fast solve falls back on every eval,
+    # paying the failed attempt PLUS the strict solve (VERDICT r4 #2).
+    # One memoized jitted probe picks the cheapest sound phase up front.
+    cfg1, data1, args1 = cfg, data_tr, min_args
+    params1, flat1, unravel1 = model.last.params, flat0, unravel
+    x_best1 = ravel_pytree(model.best.params)[0]
+    probe_info = None
+    if (
+        math.isfinite(model.best.score)
+        and jnp.dtype(cfg.dtype) != jnp.float64
+        and cfg.resolved_solve_mode() == "mixed"
+        and ozaki_active()
+    ):
+        finite, fast_ok = _probe_jit(
+            model.last.params, data_tr, cfg, complete=complete_tr
+        )
+        probe_info = {
+            "pipeline_finite": bool(finite),
+            "fast_solve_ok": bool(fast_ok),
+        }
+        if not probe_info["pipeline_finite"]:
+            (cfg1, data1, args1, params1, flat1, unravel1,
+             x_best1) = f64_ingredients(flat0, unravel, x_best1)
+        elif not probe_info["fast_solve_ok"]:
+            cfg1 = dataclasses.replace(cfg, solve_mode="mixed_strict")
+
     profile_dir = os.environ.get("GPZ_PROFILE")
     prof_cm = (
         jax.profiler.trace(profile_dir)
@@ -425,21 +483,22 @@ def train(
         # improves keeps the old best instead of replacing it with x0
         t_phase = time.perf_counter()
         res = run_phase(
-            cfg, unravel, model.last.params, min_args, flat0, tc.max_iter,
+            cfg1, unravel1, params1, args1, flat1, tc.max_iter,
             (model.best.score if math.isfinite(model.best.score)
              else -jnp.inf),
-            ravel_pytree(model.best.params)[0],
+            x_best1,
         )
         # block before reading the timer: with every executable cached the
         # dispatch is fully asynchronous, and an unblocked timer records
         # ~0 s while the execution leaks into the next phase's wall
         jax.block_until_ready(res.x)
         phase_seconds = [round(time.perf_counter() - t_phase, 2)]
+        phase_modes = [f"{cfg1.dtype}/{cfg1.resolved_solve_mode()}"]
         phase1_iterations = int(res.iterations)
         phase1_trace = None
-        unravel_final = unravel
-        cfg_final = cfg
-        data_final = data_tr
+        unravel_final = unravel1
+        cfg_final = cfg1
+        data_final = data1
 
         # precision refinement (TrainConfig.refine): a fast-phase run that
         # stalled on progress with the gradient still large has hit the f32
@@ -464,32 +523,26 @@ def train(
         opt_cond_end = float(
             np.asarray(res.trace["opt_cond"])[phase1_iterations]
         )
+        f_end = float(res.f)
         budget_left = tc.max_iter - phase1_iterations
+        # non-finite phase-1 outcomes MUST escalate too: NaN compares false
+        # against every tolerance, and a NaN-at-x0 run (un-probed trained
+        # iterate beyond the f32 regime) exits LS_FAILED at iteration 0
+        # with a NaN opt_cond — without the isfinite arms it would be
+        # returned as the final model
         if (
             tc.refine in ("auto", "on")
-            and jnp.dtype(cfg.dtype) != jnp.float64
+            and jnp.dtype(cfg1.dtype) != jnp.float64
             and stalled
-            and opt_cond_end > tc.opt_tol
+            and (
+                opt_cond_end > tc.opt_tol
+                or not math.isfinite(opt_cond_end)
+                or not math.isfinite(f_end)
+            )
             and budget_left > 0
         ):
-            cfg64 = dataclasses.replace(
-                cfg, dtype="float64", solve_mode="strict",
-                solve_dtype="float64",
-            )
-            data_tr64 = _make_dataset(Xn, Yc, psi_c, omega, training,
-                                      jnp.float64)
-            args64 = (data_tr64,)
-            if has_valid:
-                args64 = (data_tr64, _make_dataset(
-                    Xn, Yc, psi_c, omega, validation, jnp.float64
-                ))
-            params64 = jax.tree.map(
-                lambda a: a.astype(jnp.float64), unravel(res.x)
-            )
-            flat64, unravel64 = ravel_pytree(params64)
-            x_best64 = ravel_pytree(jax.tree.map(
-                lambda a: a.astype(jnp.float64), unravel(res.x_best)
-            ))[0]
+            (cfg64, _, args64, params64, flat64, unravel64,
+             x_best64) = f64_ingredients(res.x, unravel1, res.x_best)
             phase1_trace = jax.tree.map(np.asarray, res.trace)
             t_phase = time.perf_counter()
             res = run_phase(
@@ -498,9 +551,10 @@ def train(
             )
             jax.block_until_ready(res.x)
             phase_seconds.append(round(time.perf_counter() - t_phase, 2))
+            phase_modes.append(f"{cfg64.dtype}/{cfg64.resolved_solve_mode()}")
             unravel_final = unravel64
             cfg_final = cfg64
-            data_final = data_tr64
+            data_final = args64[0]
 
     def resolve(flat, score) -> ParamSet:
         # derived state is computed in the dtype of the phase that produced
@@ -539,6 +593,8 @@ def train(
             None if phase1_trace is None else phase1_iterations
         ),
         "phase_seconds": phase_seconds,
+        "phase_modes": phase_modes,
+        "solve_probe": probe_info,
         "seconds": time.perf_counter() - t_start,
         "trace": trace,
     }

@@ -27,7 +27,8 @@ import time
 # depend on them (pytest reports the real counts)
 BATCHES = [
     ["test_checkpoint.py", "test_cli.py", "test_collective_adapt.py",
-     "test_continuation.py", "test_ensemble.py", "test_inference.py"],
+     "test_continuation.py", "test_ensemble.py", "test_hard_regime.py",
+     "test_inference.py"],
     ["test_distributed.py"],
     ["test_lbfgs.py", "test_linalg.py", "test_live_progress.py",
      "test_model_2d.py"],
