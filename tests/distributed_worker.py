@@ -95,6 +95,49 @@ def main():
         complete=True,
     )
 
+    # --- psi=None over the same mesh (VERDICT r4 #9: the input-noise-free
+    # code path has different design-matrix structure; exercise it across
+    # the process boundary too) ---
+    local_nopsi = Dataset(
+        X=local.X, mask=local.mask, omega=local.omega, Y=local.Y, psi=None,
+    )
+    gdata2, n_eff2 = dist.global_dataset(local_nopsi, mesh)
+    f2, _ = sharded_nlog_ml(params, gdata2, cfg, mesh, n_eff2,
+                            complete=True)
+    full_nopsi = Dataset(X=full.X, mask=full.mask, omega=full.omega,
+                         Y=full.Y, psi=None)
+    f2_ref, _ = nlog_ml(params, full_nopsi, cfg, complete=True)
+
+    # --- unequal local row counts: n=63 across 2 hosts loads 32/31 rows;
+    # pad_dataset brings every host to the max local count with omega=0
+    # rows (exact no-ops), global_dataset then assembles and counts only
+    # real rows ---
+    from gpz_tpu.dataset import pad_dataset
+
+    n3 = 63
+    cfg3, params3, X3, Y3, psi3, omega3 = build_global_problem(
+        n3, d, m, k, seed=11
+    )
+    lo3, hi3 = dist.host_row_range(n3)
+    local3 = Dataset(
+        X=jnp.asarray(X3[lo3:hi3]),
+        mask=jnp.ones((hi3 - lo3, d), bool),
+        omega=jnp.asarray(omega3[lo3:hi3]),
+        Y=jnp.asarray(Y3[lo3:hi3]),
+        psi=jnp.asarray(psi3[lo3:hi3]),
+    )
+    target = -(-n3 // n_procs)
+    local3p = pad_dataset(local3, target)
+    gdata3, n_eff3 = dist.global_dataset(local3p, mesh)
+    f3, _ = sharded_nlog_ml(params3, gdata3, cfg3, mesh, n_eff3,
+                            complete=True)
+    full3 = Dataset(
+        X=jnp.asarray(X3), mask=jnp.ones((n3, d), bool),
+        omega=jnp.asarray(omega3), Y=jnp.asarray(Y3),
+        psi=jnp.asarray(psi3),
+    )
+    f3_ref, _ = nlog_ml(params3, full3, cfg3, complete=True)
+
     out = {
         "pid": pid,
         "process_count": jax.process_count(),
@@ -105,6 +148,12 @@ def main():
         "train_f_end": float(res.f),
         "train_finite": bool(np.isfinite(float(res.f))),
         "row_range": [lo, hi],
+        "f_sharded_nopsi": float(f2),
+        "f_single_nopsi": float(f2_ref),
+        "f_sharded_unequal": float(f3),
+        "f_single_unequal": float(f3_ref),
+        "n_eff_unequal": float(n_eff3),
+        "local_rows_unequal": int(hi3 - lo3),
     }
     with open(outfile, "w") as fh:
         json.dump(out, fh)

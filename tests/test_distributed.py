@@ -83,3 +83,61 @@ def test_two_process_distributed_matches_single(tmp_path):
     # and loaded disjoint, covering row ranges
     r0, r1 = results[0]["row_range"], results[1]["row_range"]
     assert r0[1] == r1[0] and r0[0] == 0 and r1[1] == 64
+
+    # psi=None across the process boundary (VERDICT r4 #9)
+    for r in results:
+        np.testing.assert_allclose(r["f_sharded_nopsi"],
+                                   r["f_single_nopsi"], rtol=1e-12)
+
+    # unequal local row counts (63 rows -> 32/31), padded with omega=0
+    # rows via pad_dataset before global assembly: exact equality with the
+    # 63-row single-process oracle, and n_eff counts only real rows
+    assert sorted(r["local_rows_unequal"] for r in results) == [31, 32]
+    for r in results:
+        assert r["n_eff_unequal"] == 63.0
+        np.testing.assert_allclose(r["f_sharded_unequal"],
+                                   r["f_single_unequal"], rtol=1e-12)
+
+
+def test_initialize_explicit_args_propagate_failures(monkeypatch):
+    """Explicit-argument initialize must RAISE on failure (a swallowed
+    error silently degrades a multi-host run to one process); the
+    env-discovery path must swallow only the no-coordinator case
+    (single-process usage). Deterministic contract test — the network
+    paths are exercised by the 2-process run above."""
+    import jax
+
+    from gpz_tpu.parallel import distributed as dist
+
+    calls = {}
+
+    def fake_init(**kw):
+        calls.update(kw)
+        raise RuntimeError("coordinator unreachable")
+
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: False)
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+
+    with pytest.raises(RuntimeError, match="coordinator unreachable"):
+        dist.initialize("10.0.0.1:1234", 2, 0)
+    assert calls == {
+        "coordinator_address": "10.0.0.1:1234",
+        "num_processes": 2,
+        "process_id": 0,
+    }
+
+    # env path: a no-coordinator RuntimeError means single-process usage
+    def fake_init_env(*a, **kw):
+        raise RuntimeError("no coordinator found")
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init_env)
+    dist.initialize()  # must not raise
+
+    # idempotence: once initialized, nothing is re-attempted
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: True)
+
+    def boom(*a, **kw):
+        raise AssertionError("re-initialized")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    dist.initialize("10.0.0.1:1234", 2, 0)
