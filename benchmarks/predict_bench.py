@@ -31,7 +31,10 @@ def main():
     ap.add_argument("--nq", type=int, default=256)
     args = ap.parse_args()
 
+    import dataclasses
+
     import jax
+    import jax.numpy as jnp
     import gpz_tpu
 
     rng = np.random.default_rng(4)
@@ -43,19 +46,38 @@ def main():
         psi = 0.01 + 0.05 * rng.random((args.n, d))
         model = gpz_tpu.init(X, y, "VC", m, psi=psi, seed=0)
 
+        # trained models carry EM-collapsed mixture priors (most bases at
+        # exactly 0 mass; ref getPrior.m fixed point — see predict._log_
+        # priors) and therefore peaked responsibilities that keep the
+        # top-L truncation within its coverage guard. The fresh init here
+        # has FLAT priors, whose guard correctly escalates every missing
+        # batch to the exact full mixture. Bench both: "_collapsed" is the
+        # production (trained-model) path, plain "noisy_missing" the
+        # flat-responsibility worst case.
+        n_live = min(m, 48)
+        priors_c = np.zeros(m)
+        priors_c[rng.choice(m, n_live, replace=False)] = 1.0 / n_live
+        model_c = dataclasses.replace(
+            model,
+            best=dataclasses.replace(
+                model.best, priors=jnp.asarray(priors_c, jnp.float32)
+            ),
+        )
+
         Xq_clean = rng.standard_normal((args.nq, d))
         Xq_miss = Xq_clean.copy()
         Xq_miss[-args.nq // 4:, 2] = np.nan
         psiq = 0.02 * np.ones((args.nq, d))
         cases = [
-            ("clean", Xq_clean, None),
-            ("noisy", Xq_clean, psiq),
-            ("noisy_missing", Xq_miss, psiq),
+            ("clean", Xq_clean, None, model),
+            ("noisy", Xq_clean, psiq, model),
+            ("noisy_missing", Xq_miss, psiq, model),
+            ("noisy_missing_collapsed", Xq_miss, psiq, model_c),
         ]
-        for label, Xq, pq in cases:
-            gpz_tpu.predict(Xq, model, psi=pq)       # compile + warm
+        for label, Xq, pq, mdl in cases:
+            gpz_tpu.predict(Xq, mdl, psi=pq)       # compile + warm
             t0 = time.perf_counter()
-            pred = gpz_tpu.predict(Xq, model, psi=pq)
+            pred = gpz_tpu.predict(Xq, mdl, psi=pq)
             dt = time.perf_counter() - t0
             row = {
                 "m": m, "case": label, "nq": args.nq,

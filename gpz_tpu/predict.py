@@ -118,6 +118,24 @@ def variance_dtype():
     return jnp.dtype(os.environ.get("GPZ_VARIANCE_DTYPE", "float64"))
 
 
+def mix_dtype():
+    """dtype of the GMM-conditioning mixture scans in the full-covariance
+    MISSING path (env GPZ_MIX_DTYPE, default float32).
+
+    The missing path's cost is its per-component scans — L sequential
+    (n, B, m, d, d) Cholesky/quad/exp chains (phi_step / ec_step). Run in
+    emulated f64 on TPU they measure 16 rows/s at m=1000; in f32,
+    167 rows/s (round-5 sweep). f32 is sound HERE even though the pair
+    pass needs f64 (module docstring): the mixture sums are NONNEGATIVE —
+    sum_l Pio_l N_l has no cancellation, so per-component f32 relative
+    error (~1e-6) passes through linearly instead of being amplified, and
+    the pair tables (lnZij, lnNo) that DO feed cancellation-sensitive
+    contractions stay in variance_dtype. Set GPZ_MIX_DTYPE=float64 to
+    restore the all-f64 chain (NB at m=1000 the f64 EXACT-mixture scan
+    has produced TPU worker kernel faults; the f32 scan runs clean)."""
+    return jnp.dtype(os.environ.get("GPZ_MIX_DTYPE", "float32"))
+
+
 def _block_size(n: int, m: int, d_cost: int, budget: int = 0,
                 itemsize: int = 4) -> int:
     # budgets are calibrated in f32 elements; scale down for wider dtypes
@@ -421,24 +439,31 @@ def predict_moments_full(params, post, priors, cfg: ModelConfig, X,
 
         # PHI_i = exp(lnz_i) sum_j Pio_j N(X_hat_j; P_i, Sigma_i + Psi_hat_j),
         # as a scan over mixture components j so the peak intermediate is
-        # (n, m, d, d) — never the (n, m, m, d, d) tensor (VERDICT r1 item 7)
+        # (n, m, d, d) — never the (n, m, m, d, d) tensor (VERDICT r1 item 7).
+        # The scans run in mix_dtype (f32): the sums are nonnegative, so
+        # per-component f32 error passes through linearly — and the
+        # emulated-f64 version of these chains was 10x slower AND kernel-
+        # faulted the TPU worker at the m=1000 exact mixture (see mix_dtype)
+        mdt = mix_dtype()
         mix_xs = (
-            jnp.moveaxis(Ph_t, 1, 0),                              # (L, n, d, d)
-            jnp.moveaxis(Xh_t, 1, 0),                              # (L, n, d)
-            pio_t.T,                                               # (L, n)
+            jnp.moveaxis(Ph_t, 1, 0).astype(mdt),                  # (L, n, d, d)
+            jnp.moveaxis(Xh_t, 1, 0).astype(mdt),                  # (L, n, d)
+            pio_t.T.astype(mdt),                                   # (L, n)
         )
+        Sigma_m = Sigma.astype(mdt)
+        P_m = P.astype(mdt)
 
         def phi_step(acc, xs):
             Ph_l, Xh_l, Pio_l = xs
-            SPH = Sigma[None] + Ph_l[:, None]                      # (n, m, d, d)
-            dXh = Xh_l[:, None, :] - P[None]
+            SPH = Sigma_m[None] + Ph_l[:, None]                    # (n, m, d, d)
+            dXh = Xh_l[:, None, :] - P_m[None]
             quad_f, ld_f = quad_logdet_psd(SPH, dXh)
             return acc + Pio_l[:, None] * jnp.exp(-0.5 * quad_f - 0.5 * ld_f), None
 
         phi_sum, _ = jax.lax.scan(
-            phi_step, jnp.zeros((n, m), X.dtype), mix_xs
+            phi_step, jnp.zeros((n, m), mdt), mix_xs
         )
-        PHI = jnp.exp(lnz)[None, :] * phi_sum
+        PHI = jnp.exp(lnz)[None, :] * phi_sum.astype(X.dtype)
 
     PHI_c = PHI.astype(cdt)
     mu = (PHI_c @ w).astype(vdt)
@@ -492,19 +517,26 @@ def predict_moments_full(params, post, priors, cfg: ModelConfig, X,
             quad_c, ld_c = quad_logdet_psd(CP, dxc)
             Ec = jnp.exp(-0.5 * quad_c - 0.5 * ld_c)
         else:
-            # mixture sum over l (predictCov.m:197-202,301-306)
+            # mixture sum over l (predictCov.m:197-202,301-306), in
+            # mix_dtype like the PHI mixture above (nonnegative sum; the
+            # cancellation-sensitive pair table lnZij stays in vdt)
+            mdt = mix_dtype()
+            Cij_m = Cij.astype(mdt)
+            cij_m = cij.astype(mdt)
+
             def ec_step(acc, xs):
                 Ph_l, Xh_l, Pio_l = xs
-                CPl = Cij[None] + Ph_l[:, None, None]          # (n, B, m, d, d)
-                dxc = Xh_l[:, None, None, :] - cij[None]
+                CPl = Cij_m[None] + Ph_l[:, None, None]        # (n, B, m, d, d)
+                dxc = Xh_l[:, None, None, :] - cij_m[None]
                 quad_c, ld_c = quad_logdet_psd(CPl, dxc)
                 return acc + Pio_l[:, None, None] * jnp.exp(
                     -0.5 * quad_c - 0.5 * ld_c
                 ), None
 
             Ec, _ = jax.lax.scan(
-                ec_step, jnp.zeros((n, B, m), X.dtype), mix_xs
+                ec_step, jnp.zeros((n, B, m), mdt), mix_xs
             )
+            Ec = Ec.astype(X.dtype)
 
         # contractions on the cdt MXU: the pair densities are vdt-accurate,
         # so the f32-grade dots only add ~eps_f32 * sum|terms| (~1e-6)

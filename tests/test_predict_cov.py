@@ -105,7 +105,11 @@ def _ref_predict_missing_cov(X, psi, P, Sigma, iSig, w, v, b, iSw, priors):
 
 
 @pytest.mark.parametrize("with_psi", [False, True])
-def test_missing_cov_vs_loopy_reference(rng, with_psi):
+def test_missing_cov_vs_loopy_reference(rng, with_psi, monkeypatch):
+    # pin the mixture scans to f64 for the structural oracle comparison;
+    # the default f32 chain's rounding is bounded separately by
+    # test_missing_cov_mix_dtype_error_bound
+    monkeypatch.setenv("GPZ_MIX_DTYPE", "float64")
     n, d, m, k = 5, 3, 3, 1
     cfg = ModelConfig(m=m, d=d, k=k, method="VC", dtype="float64")
     params = make_params(rng, cfg)
@@ -183,3 +187,36 @@ def test_missing_cov_finite_at_trained_scales(rng):
     )
     for a, name in zip(out, ["mu", "nu", "beta_i", "gamma", "phi"]):
         assert np.isfinite(np.asarray(a)).all(), name
+
+
+def test_missing_cov_mix_dtype_error_bound(rng, monkeypatch):
+    """The default f32 mixture-conditional chain (predict.mix_dtype) must
+    stay within ~1e-4 relative of the all-f64 chain: the mixture sums are
+    nonnegative, so per-component f32 rounding passes through linearly
+    instead of being amplified by the pair pass's cancellations. This is
+    the 10x lever on missing-data prediction at m=1000 (16 -> 167 rows/s
+    on the chip, round-5 sweep)."""
+    n, d, m, k = 8, 4, 24, 1
+    cfg = ModelConfig(m=m, d=d, k=k, method="VC", dtype="float64")
+    params = make_params(rng, cfg)
+    post = make_post(rng, m, k)
+    priors = np.asarray(rng.random(m)) + 0.1
+    priors /= priors.sum()
+    X = rng.standard_normal((n, d))
+    psi = np.zeros((n, d, d))
+    psi[:, np.arange(d), np.arange(d)] = 0.05
+    mask_vec = jnp.asarray([1.0, 1.0, 0.0, 1.0])
+    Xz = X * np.asarray([1, 1, 0, 1.0])
+
+    outs = {}
+    for mdt in ("float64", "float32"):
+        monkeypatch.setenv("GPZ_MIX_DTYPE", mdt)
+        outs[mdt] = predict_moments_full(
+            params, post, jnp.asarray(priors), cfg, jnp.asarray(Xz),
+            mask_vec, jnp.asarray(psi), False,
+        )
+    for a, b, name in zip(outs["float32"], outs["float64"],
+                          ["mu", "nu", "beta_i", "gamma", "phi"]):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.maximum(np.abs(b), 1e-8 * np.abs(b).max() + 1e-300)
+        assert np.max(np.abs(a - b) / scale) < 1e-4, name
