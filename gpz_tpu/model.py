@@ -413,6 +413,13 @@ def train(
             # live row streaming (ref callBack.m): memoized so the callback
             # identity — a static jit arg — stays stable across train() calls
             iter_callback=_live_printer(has_valid) if tc.verbose else None,
+            # cross-process AOT executable reuse (gpz_tpu.aot): the phase
+            # config + completeness flags determine exactly what the
+            # memoized fun/score_fn closures compute
+            aot_key=(
+                f"{cfg_phase!r}|{complete_tr}|"
+                f"{complete_va if has_valid else None}|{has_valid}"
+            ),
         )
 
     min_args = (data_tr, data_va) if has_valid else (data_tr,)

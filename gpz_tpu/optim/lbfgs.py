@@ -404,6 +404,7 @@ def minimize(
     x_best0: Optional[jax.Array] = None,
     record_len: Optional[int] = None,
     iter_callback: Optional[Callable] = None,
+    aot_key: Optional[str] = None,
 ) -> MinimizeResult:
     """Minimize fun(x) -> (f, g, aux) by L-BFGS with strong-Wolfe search.
 
@@ -437,6 +438,14 @@ def minimize(
     a multi-minute run gives zero feedback until the while_loop returns).
     Its identity is a static jit argument: pass a memoized function, not a
     fresh closure per call, or every call re-traces the loop.
+
+    `aot_key` — opt-in AOT executable caching (gpz_tpu.aot): a semantic
+    string capturing what `fun`/`score_fn` compute (their identities
+    cannot key a cross-process cache). A repeat process with the same key,
+    argument shapes, and code fingerprint calls the deserialized compiled
+    executable directly — no trace, no lowering (~5-9 s per phase per
+    process on the north-star shapes). Ignored when an iter_callback is
+    present (host callbacks do not survive executable serialization).
     """
     max_iter = int(max_iter)
     if record_len is None:
@@ -446,13 +455,25 @@ def minimize(
             f"record_len={record_len} cannot hold max_iter={max_iter} + 1 "
             "trace rows"
         )
-    return _minimize(
-        fun, x0, args, history,
-        max_iter,
-        opt_tol, prog_tol, c1, c2, max_ls, score_fn,
-        2**31 - 1 if max_attempts is None else int(max_attempts),
-        init_best_score, x_best0, record_len, iter_callback,
+    max_attempts = 2**31 - 1 if max_attempts is None else int(max_attempts)
+    build = (
+        fun, x0, args, history, max_iter, opt_tol, prog_tol, c1, c2,
+        max_ls, score_fn, max_attempts, init_best_score, x_best0,
+        record_len, iter_callback,
     )
+    if aot_key is not None and iter_callback is None:
+        from gpz_tpu import aot
+
+        if aot.enabled():
+            dyn = (x0, args, max_iter, opt_tol, prog_tol, c1, c2,
+                   max_attempts, init_best_score, x_best0)
+            key = aot.cache_key(
+                f"minimize:{aot_key}",
+                dyn,
+                (history, max_ls, record_len, score_fn is not None),
+            )
+            return aot.call_or_build(key, _minimize, build, dyn)
+    return _minimize(*build)
 
 
 @partial(

@@ -26,6 +26,7 @@ import time
 # static per-file test counts only steer the batching — correctness does not
 # depend on them (pytest reports the real counts)
 BATCHES = [
+    ["test_aot.py"],
     ["test_checkpoint.py", "test_cli.py", "test_collective_adapt.py",
      "test_continuation.py", "test_ensemble.py", "test_hard_regime.py",
      "test_inference.py"],
