@@ -121,10 +121,14 @@ def wolfe_line_search(fun, x, f0, g0, d, t0, c1, c2, max_ls, prog_tol, aux0):
     WolfeLineSearch.m:135-241), proposes the next trial (cubic
     extrapolation / safeguarded cubic interpolation), and evaluates it at
     the one shared call site. Semantics match the two-loop version
-    trial-for-trial, with one deliberate exception: a trial evaluated on
-    the last budgeted iteration is still classified (one more loop trip
-    with no eval), so a Wolfe-satisfying final trial is returned instead
-    of discarded.
+    trial-for-trial, INCLUDING the budget-exhaustion corner: a bracketing
+    trial evaluated on the last budgeted iteration is left unclassified
+    (minFunc's bracket loop exits on LSiter before processing it), while
+    zoom trials are always classified (minFunc's zoom evaluates and
+    processes in the same iteration). An earlier fused version classified
+    that final bracketing trial "helpfully" — which let the mixed phase
+    grind ~60 extra iterations through its f32 noise floor on the
+    north-star run and handed the f64 endgame a different (worse) basin.
     """
     gtd0 = jnp.vdot(g0, d)
     dtype = x.dtype  # step-scalar dtype: the objective VALUE may be wider
@@ -176,8 +180,16 @@ def wolfe_line_search(fun, x, f0, g0, d, t0, c1, c2, max_ls, prog_tol, aux0):
 
     def cond(s: _LSState):
         # work remains while the initial eval is pending or the last eval
-        # still needs classification; done/failed exit immediately
-        return (~s.done) & (~s.failed) & (s.pending | s.unprocessed)
+        # still needs classification; done/failed exit immediately. A
+        # BRACKETING eval that consumed the last budget slot is left
+        # unclassified (s.bracketed at entry reflects the mode the pending
+        # eval was proposed under) — the reference's bracket loop gates on
+        # LSiter before processing; its zoom processes in the same
+        # iteration, so zoom evals always classify.
+        return (~s.done) & (~s.failed) & (
+            s.pending
+            | (s.unprocessed & (s.bracketed | (s.ls_iter < max_ls)))
+        )
 
     def body(s: _LSState):
         gtd_new = jnp.vdot(s.g_new, d)
