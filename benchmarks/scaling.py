@@ -102,12 +102,29 @@ def main():
     # (ADVICE r4 #5)
     raw = {D: (r / D) / base for D, r in results}
     effs = {D: min(1.0, e) for D, e in raw.items()}
-    print(json.dumps({
+    from gpz_tpu.objective import ozaki_active
+    summary = {
         "metric": "weak_scaling_efficiency",
         "per_device": {str(D): round(e, 3) for D, e in effs.items()},
         "per_device_raw": {str(D): round(e, 3) for D, e in raw.items()},
         "max_devices_efficiency": round(effs[results[-1][0]], 3),
-    }))
+        # provenance (VERDICT r4 #5): the shipped TPU numerics are the
+        # Ozaki-exact Gram + fast solve; force with GPZ_OZAKI=1 on CPU
+        "provenance": {
+            "backend": jax.default_backend(),
+            "ozaki_gram_active": bool(ozaki_active()),
+            "rows_per_device": args.rows,
+            "m": args.m, "d": args.d, "method": args.method,
+            "repeats": args.repeats,
+        },
+    }
+    print(json.dumps(summary))
+    out_file = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        os.environ.get("GPZ_SCALING_OUT", "SCALING_r05.json"),
+    )
+    with open(out_file, "w") as fh:
+        json.dump(summary, fh, indent=1)
 
 
 if __name__ == "__main__":

@@ -502,7 +502,9 @@ def train(
         phase_seconds = [round(time.perf_counter() - t_phase, 2)]
         phase_modes = [f"{cfg1.dtype}/{cfg1.resolved_solve_mode()}"]
         phase1_iterations = int(res.iterations)
-        phase1_trace = None
+        # completed (trace, iterations) segments awaiting stitching: the
+        # mixed phase plus any fresh-memory f64 restarts before the final one
+        pending_segments = []
         unravel_final = unravel1
         cfg_final = cfg1
         data_final = data1
@@ -550,15 +552,57 @@ def train(
         ):
             (cfg64, _, args64, params64, flat64, unravel64,
              x_best64) = f64_ingredients(res.x, unravel1, res.x_best)
-            phase1_trace = jax.tree.map(np.asarray, res.trace)
-            t_phase = time.perf_counter()
-            res = run_phase(
-                cfg64, unravel64, params64, args64, flat64, budget_left,
-                res.best_score, x_best64,
+            pending_segments.append(
+                (jax.tree.map(np.asarray, res.trace), phase1_iterations)
             )
-            jax.block_until_ready(res.x)
-            phase_seconds.append(round(time.perf_counter() - t_phase, 2))
-            phase_modes.append(f"{cfg64.dtype}/{cfg64.resolved_solve_mode()}")
+            best_score64 = res.best_score
+            remaining = budget_left
+            restarts = 0
+            # fresh-memory restarts: an f64 segment that terminates
+            # step_too_small while STILL DESCENDING has usually collapsed
+            # its step under stale curvature pairs carried from a
+            # different region (measured: a two-phase run that stalled at
+            # nlml -2.6586 with budget left descended to -2.6692 — the
+            # reference band — after one fresh-memory restart from the
+            # same point, scratch/basin_probe_r5 on the chip). Restart the
+            # segment with empty L-BFGS memory while budget remains and
+            # the previous segment made real progress; a restart at a
+            # genuine optimum terminates in a couple of cheap evals with
+            # ~no improvement and ends the loop.
+            while True:
+                t_phase = time.perf_counter()
+                res = run_phase(
+                    cfg64, unravel64, params64, args64, flat64, remaining,
+                    best_score64, x_best64,
+                )
+                jax.block_until_ready(res.x)
+                phase_seconds.append(round(time.perf_counter() - t_phase, 2))
+                phase_modes.append(
+                    f"{cfg64.dtype}/{cfg64.resolved_solve_mode()}"
+                )
+                seg_iters = int(res.iterations)
+                remaining -= seg_iters
+                f_seg = np.asarray(res.trace["f"])
+                f_start, f_end2 = float(f_seg[0]), float(res.f)
+                stalled2 = int(res.status) in (
+                    STATUS_STEP_TOO_SMALL, STATUS_LS_FAILED,
+                    STATUS_NO_DESCENT,
+                )
+                if not (
+                    stalled2
+                    and remaining > 0
+                    and restarts < 8
+                    and math.isfinite(f_end2)
+                    and f_start - f_end2 > tc.prog_tol
+                ):
+                    break
+                restarts += 1
+                pending_segments.append(
+                    (jax.tree.map(np.asarray, res.trace), seg_iters)
+                )
+                flat64 = res.x
+                x_best64 = res.x_best
+                best_score64 = res.best_score
             unravel_final = unravel64
             cfg_final = cfg64
             data_final = args64[0]
@@ -586,9 +630,11 @@ def train(
     trace = jax.tree.map(np.asarray, res.trace)
     iterations = int(res.iterations)
     fun_evals = int(res.fun_evals)
-    if phase1_trace is not None:
+    # stitch completed segments (mixed phase + any f64 restarts) onto the
+    # final one, right to left so the eval counters accumulate correctly
+    for seg_trace, seg_iters in reversed(pending_segments):
         trace, iterations, fun_evals = stitch_phase_traces(
-            phase1_trace, phase1_iterations, trace, iterations, fun_evals
+            seg_trace, seg_iters, trace, iterations, fun_evals
         )
 
     fit_info = {
@@ -597,7 +643,7 @@ def train(
         "status": int(res.status),
         "final_nlml": float(res.f),
         "phase1_iterations": (
-            None if phase1_trace is None else phase1_iterations
+            None if not pending_segments else phase1_iterations
         ),
         "phase_seconds": phase_seconds,
         "phase_modes": phase_modes,
