@@ -103,11 +103,21 @@ def main():
     raw = {D: (r / D) / base for D, r in results}
     effs = {D: min(1.0, e) for D, e in raw.items()}
     from gpz_tpu.objective import ozaki_active
+
+    # on a virtual CPU mesh the D devices share the same physical cores,
+    # so per-device efficiency is bounded by cores/D regardless of the
+    # collective layout; the meaningful number there is TOTAL-throughput
+    # retention as the mesh grows (how much the psum boundaries cost).
+    # On real multi-chip hardware per-device efficiency is the metric.
+    best_total = max(r for _, r in results)
+    retention = results[-1][1] / best_total
     summary = {
         "metric": "weak_scaling_efficiency",
+        "raw_rows_per_sec": {str(D): round(r, 1) for D, r in results},
         "per_device": {str(D): round(e, 3) for D, e in effs.items()},
         "per_device_raw": {str(D): round(e, 3) for D, e in raw.items()},
         "max_devices_efficiency": round(effs[results[-1][0]], 3),
+        "total_throughput_retention_at_max_dev": round(retention, 3),
         # provenance (VERDICT r4 #5): the shipped TPU numerics are the
         # Ozaki-exact Gram + fast solve; force with GPZ_OZAKI=1 on CPU
         "provenance": {
@@ -117,6 +127,13 @@ def main():
             "m": args.m, "d": args.d, "method": args.method,
             "repeats": args.repeats,
         },
+        "interpretation": (
+            "virtual CPU mesh: devices share physical cores, so "
+            "per-device efficiency is core-bounded; total-throughput "
+            "retention isolates the collective-layout cost"
+            if jax.default_backend() == "cpu" else
+            "real multi-chip mesh: per_device is the headline"
+        ),
     }
     print(json.dumps(summary))
     out_file = os.path.join(

@@ -558,17 +558,20 @@ def train(
             best_score64 = res.best_score
             remaining = budget_left
             restarts = 0
-            # fresh-memory restarts: an f64 segment that terminates
-            # step_too_small while STILL DESCENDING has usually collapsed
-            # its step under stale curvature pairs carried from a
-            # different region (measured: a two-phase run that stalled at
-            # nlml -2.6586 with budget left descended to -2.6692 — the
-            # reference band — after one fresh-memory restart from the
-            # same point, scratch/basin_probe_r5 on the chip). Restart the
-            # segment with empty L-BFGS memory while budget remains and
-            # the previous segment made real progress; a restart at a
-            # genuine optimum terminates in a couple of cheap evals with
-            # ~no improvement and ends the loop.
+            # Requantized fresh-memory restarts: an f64 segment that
+            # terminates step_too_small while budget remains has often
+            # stopped on a knife-edge plateau rather than an optimum —
+            # measured on the chip (scratch/basin_probe_r5): a run that
+            # stalled at nlml -2.6586 stayed stalled when restarted from
+            # the EXACT f64 iterate, but descended to -2.6692 (the
+            # reference band) when restarted from the float32-cast of the
+            # same point. The cast is not a random perturbation: it is
+            # exactly the precision at which the model is STORED (resolve()
+            # casts last/best to the model dtype), i.e. the point a user's
+            # continuation train() would resume from anyway. Restart with
+            # empty L-BFGS memory from the requantized iterate while
+            # budget remains; stop when a restart makes no progress (a
+            # genuine optimum survives requantization) or the cap hits.
             while True:
                 t_phase = time.perf_counter()
                 res = run_phase(
@@ -588,19 +591,25 @@ def train(
                     STATUS_STEP_TOO_SMALL, STATUS_LS_FAILED,
                     STATUS_NO_DESCENT,
                 )
+                progressed = f_start - f_end2 > tc.prog_tol
                 if not (
                     stalled2
                     and remaining > 0
                     and restarts < 8
                     and math.isfinite(f_end2)
-                    and f_start - f_end2 > tc.prog_tol
+                    # the first restart is always worth one try; further
+                    # ones only while the previous restart kept descending
+                    and (restarts == 0 or progressed)
                 ):
                     break
                 restarts += 1
                 pending_segments.append(
                     (jax.tree.map(np.asarray, res.trace), seg_iters)
                 )
-                flat64 = res.x
+                flat64 = ravel_pytree(jax.tree.map(
+                    lambda a: a.astype(dt).astype(jnp.float64),
+                    unravel64(res.x),
+                ))[0]
                 x_best64 = res.x_best
                 best_score64 = res.best_score
             unravel_final = unravel64
