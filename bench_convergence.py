@@ -163,6 +163,12 @@ def main():
                     help="recompute the strict-f64 target nlml")
     ap.add_argument("--study", action="store_true",
                     help="run strict/mixed/f32 and compare")
+    ap.add_argument("--fresh-only", action="store_true",
+                    help="one training run in this (fresh) process, "
+                    "appended to benchmarks/CONVERGENCE_r05.json with the "
+                    "fresh_process label — the BASELINE.md 'run the tool, "
+                    "get the model' condition (VERDICT r4 next #1: three "
+                    "consecutive fresh-process runs)")
     args = ap.parse_args()
 
     if args.target:
@@ -205,6 +211,30 @@ def main():
     # tolerance: reach within 0.1% of the f64 target's distance from the
     # init value — effectively "converged to the same log-ML"
     tol = 1e-3 * abs(tgt)
+
+    if args.fresh_only:
+        model, secs = run_training("mixed", "auto")
+        out, f, fev = summarize(model, secs, "fresh_process")
+        t_hit = time_to_target(
+            f, fev, out["train_seconds"], out["fun_evals"], tgt, tol,
+            phase_seconds=out.get("phase_seconds"),
+            phase1_iterations=out.get("phase1_iterations"),
+        )
+        out["target_nlml"] = tgt
+        out["reached_target"] = t_hit is not None
+        out["seconds_to_target"] = None if t_hit is None else round(t_hit, 2)
+        print(json.dumps(out), flush=True)
+        rec_file = os.path.join(os.path.dirname(TARGET_FILE),
+                                "CONVERGENCE_r05.json")
+        recs = {"fresh_process_runs": []}
+        if os.path.exists(rec_file):
+            with open(rec_file) as fh:
+                recs = json.load(fh)
+        recs.setdefault("fresh_process_runs", []).append(out)
+        recs["target"] = target["target_nlml"]
+        with open(rec_file, "w") as fh:
+            json.dump(recs, fh, indent=1)
+        return
 
     # the shipped config: mixed fast phase + automatic strict refinement
     # (TrainConfig.refine="auto")
