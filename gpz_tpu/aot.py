@@ -35,6 +35,11 @@ def _dir() -> str:
 #: in-process handle cache: deserialize once per process
 _LOADED: dict = {}
 
+import threading as _threading
+
+_LOCK = _threading.Lock()
+_INFLIGHT: dict = {}  # key -> Event set when a load attempt finished
+
 
 def enabled() -> bool:
     return os.environ.get("GPZ_AOT") != "0"
@@ -96,30 +101,116 @@ def cache_key(semantic_key: str, args_tree, statics: tuple) -> str:
 
 
 def load(key: str):
-    """The deserialized Compiled for `key`, or None."""
+    """The deserialized Compiled for `key`, or None.
+
+    Concurrency-safe: a load already in flight on another thread (the
+    prefetcher) is waited on instead of duplicated — executable
+    deserialization through a remote-compile backend is tens of seconds
+    for the big training programs."""
     if not enabled():
         return None
-    if key in _LOADED:
-        return _LOADED[key]
-    path = os.path.join(_dir(), key + ".jaxexe")
-    if not os.path.exists(path):
-        return None
-    try:
-        from jax.experimental.serialize_executable import (
-            deserialize_and_load,
-        )
+    while True:
+        with _LOCK:
+            if key in _LOADED:
+                return _LOADED[key]
+            ev = _INFLIGHT.get(key)
+            if ev is None:
+                ev = _threading.Event()
+                _INFLIGHT[key] = ev
+                break
+        ev.wait()
+        with _LOCK:
+            done = key in _LOADED
+        if done:
+            return _LOADED[key]
+        return None  # the other attempt failed; caller rebuilds
 
-        with open(path, "rb") as fh:
-            serialized, in_tree, out_tree = pickle.load(fh)
-        compiled = deserialize_and_load(serialized, in_tree, out_tree)
-    except Exception:  # corrupt / version-skewed / backend refuses: rebuild
+    try:
+        path = os.path.join(_dir(), key + ".jaxexe")
+        if not os.path.exists(path):
+            return None
         try:
-            os.remove(path)
-        except OSError:
-            pass
-        return None
-    _LOADED[key] = compiled
-    return compiled
+            from jax.experimental.serialize_executable import (
+                deserialize_and_load,
+            )
+
+            with open(path, "rb") as fh:
+                serialized, in_tree, out_tree = pickle.load(fh)
+            compiled = deserialize_and_load(serialized, in_tree, out_tree)
+        except Exception:  # corrupt / version-skewed / backend refuses
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+            return None
+        with _LOCK:
+            _LOADED[key] = compiled
+        return compiled
+    finally:
+        with _LOCK:
+            _INFLIGHT.pop(key, None)
+        ev.set()
+
+
+def _manifest_path() -> str:
+    return os.path.join(_dir(), "manifest.json")
+
+
+def note_group(group: str, key: str) -> None:
+    """Record that `key` was used by the logical task `group`, so a later
+    process can prefetch the whole group's executables up front."""
+    if not enabled():
+        return
+    import json
+
+    try:
+        os.makedirs(_dir(), exist_ok=True)
+        path = _manifest_path()
+        with _LOCK:
+            manifest = {}
+            if os.path.exists(path):
+                with open(path) as fh:
+                    manifest = json.load(fh)
+            keys = manifest.setdefault(group, [])
+            if key not in keys:
+                keys.append(key)
+                tmp = path + ".tmp"
+                with open(tmp, "w") as fh:
+                    json.dump(manifest, fh)
+                os.replace(tmp, path)
+    except Exception:
+        pass
+
+
+def prefetch_group(group: str) -> None:
+    """Start loading every executable previously recorded for `group` on
+    a daemon thread. Hides the later phases' executable deserialization
+    (~30 s for the f64 refine program through the remote-compile tunnel)
+    under the earlier phases' execution — the dominant fresh-process cost
+    after the persistent compilation cache is warm (PRECISION.md §9)."""
+    if not enabled():
+        return
+    import json
+
+    try:
+        path = _manifest_path()
+        if not os.path.exists(path):
+            return
+        with open(path) as fh:
+            keys = json.load(fh).get(group, [])
+    except Exception:
+        return
+    if not keys:
+        return
+
+    def work():
+        for k in keys:
+            try:
+                load(k)
+            except Exception:
+                pass
+
+    _threading.Thread(target=work, daemon=True).start()
 
 
 def save(key: str, compiled) -> None:

@@ -391,6 +391,20 @@ def train(
     # a fresh multi-minute compile; PRECISION.md §6, ADVICE r3 #2)
     record_len = -(-(int(tc.max_iter) + 1) // 64) * 64
 
+    # every phase of this training task records its executable-cache key
+    # under one group; the NEXT process prefetches the whole group before
+    # phase 1, hiding the later phases' executable loads (~30 s for the
+    # f64 refine program through the remote-compile tunnel) under the
+    # earlier phases' execution
+    aot_group = (
+        f"train:{cfg!r}|{complete_tr}|"
+        f"{complete_va if has_valid else None}|{has_valid}|"
+        f"{data_tr.n}x{data_tr.d}|{record_len}"
+    )
+    from gpz_tpu import aot as _aot
+
+    _aot.prefetch_group(aot_group)
+
     def run_phase(cfg_phase, unravel_phase, params_phase, args_phase, x0,
                   budget, best_score0, x_best0):
         fun, score_fn = make_phase(cfg_phase, unravel_phase, params_phase)
@@ -420,6 +434,7 @@ def train(
                 f"{cfg_phase!r}|{complete_tr}|"
                 f"{complete_va if has_valid else None}|{has_valid}"
             ),
+            aot_group=aot_group,
         )
 
     min_args = (data_tr, data_va) if has_valid else (data_tr,)

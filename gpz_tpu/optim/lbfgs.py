@@ -417,6 +417,7 @@ def minimize(
     record_len: Optional[int] = None,
     iter_callback: Optional[Callable] = None,
     aot_key: Optional[str] = None,
+    aot_group: Optional[str] = None,
 ) -> MinimizeResult:
     """Minimize fun(x) -> (f, g, aux) by L-BFGS with strong-Wolfe search.
 
@@ -484,6 +485,10 @@ def minimize(
                 dyn,
                 (history, max_ls, record_len, score_fn is not None),
             )
+            if aot_group is not None:
+                # record the key under the caller's task group so the next
+                # process can prefetch it (aot.prefetch_group)
+                aot.note_group(aot_group, key)
             return aot.call_or_build(key, _minimize, build, dyn)
     return _minimize(*build)
 
