@@ -130,18 +130,24 @@ def load(key: str):
         if not os.path.exists(path):
             return None
         try:
-            from jax.experimental.serialize_executable import (
-                deserialize_and_load,
-            )
-
             with open(path, "rb") as fh:
                 serialized, in_tree, out_tree = pickle.load(fh)
-            compiled = deserialize_and_load(serialized, in_tree, out_tree)
-        except Exception:  # corrupt / version-skewed / backend refuses
+        except Exception:  # corrupt file: unreadable by anyone — drop it
             try:
                 os.remove(path)
             except OSError:
                 pass
+            return None
+        try:
+            from jax.experimental.serialize_executable import (
+                deserialize_and_load,
+            )
+
+            compiled = deserialize_and_load(serialized, in_tree, out_tree)
+        except Exception:
+            # the BACKEND refused it (version skew, or a prefetch racing a
+            # different backend's entry) — the file may still be valid for
+            # the backend that wrote it, so keep it; the caller rebuilds
             return None
         with _LOCK:
             _LOADED[key] = compiled
@@ -156,24 +162,47 @@ def _manifest_path() -> str:
     return os.path.join(_dir(), "manifest.json")
 
 
+def _read_manifest() -> dict:
+    """Manifest as {group: {key: backend}}. Migrates the v1 flat format
+    ({group: [keys]}) by assuming the current backend wrote those keys —
+    correct for a single-backend machine, and the only cost of a wrong
+    guess is one failed (non-destructive) prefetch."""
+    import json
+
+    path = _manifest_path()
+    if not os.path.exists(path):
+        return {}
+    try:
+        with open(path) as fh:
+            raw = json.load(fh)
+    except Exception:
+        return {}
+    be = jax.default_backend()
+    out = {}
+    for group, entry in raw.items():
+        if isinstance(entry, list):  # v1
+            out[group] = {k: be for k in entry}
+        elif isinstance(entry, dict):
+            out[group] = dict(entry)
+    return out
+
+
 def note_group(group: str, key: str) -> None:
-    """Record that `key` was used by the logical task `group`, so a later
-    process can prefetch the whole group's executables up front."""
+    """Record that `key` was used by the logical task `group` on the
+    current backend, so a later process can prefetch the whole group's
+    executables up front."""
     if not enabled():
         return
     import json
 
     try:
         os.makedirs(_dir(), exist_ok=True)
-        path = _manifest_path()
         with _LOCK:
-            manifest = {}
-            if os.path.exists(path):
-                with open(path) as fh:
-                    manifest = json.load(fh)
-            keys = manifest.setdefault(group, [])
-            if key not in keys:
-                keys.append(key)
+            manifest = _read_manifest()
+            keys = manifest.setdefault(group, {})
+            if keys.get(key) != jax.default_backend():
+                keys[key] = jax.default_backend()
+                path = _manifest_path()
                 tmp = path + ".tmp"
                 with open(tmp, "w") as fh:
                     json.dump(manifest, fh)
@@ -182,35 +211,67 @@ def note_group(group: str, key: str) -> None:
         pass
 
 
+def _spawn_loads(keys) -> None:
+    """One daemon thread per key: executable deserialization through a
+    remote-compile tunnel is latency-bound per call, and a SERIAL prefetch
+    of phase 1 (~12 s) + phase 2 (~30 s) finishes after phase 1 has
+    already run dry — measured round 5, the f64 refine phase stalled ~29 s
+    waiting on its executable behind the phase-1 load. The in-flight dedup
+    in load() keeps concurrent callers from duplicating work."""
+
+    def work(k):
+        try:
+            load(k)
+        except Exception:
+            pass
+
+    for k in keys:
+        _threading.Thread(target=work, args=(k,), daemon=True).start()
+
+
 def prefetch_group(group: str) -> None:
-    """Start loading every executable previously recorded for `group` on
-    a daemon thread. Hides the later phases' executable deserialization
-    (~30 s for the f64 refine program through the remote-compile tunnel)
-    under the earlier phases' execution — the dominant fresh-process cost
-    after the persistent compilation cache is warm (PRECISION.md §9)."""
+    """Start loading every executable previously recorded for `group` (on
+    this backend) in parallel daemon threads. Hides the phases' executable
+    deserialization (~30 s for the f64 refine program through the
+    remote-compile tunnel) under the earlier phases' execution — the
+    dominant fresh-process cost after the persistent compilation cache is
+    warm (PRECISION.md §9)."""
     if not enabled():
         return
-    import json
-
     try:
-        path = _manifest_path()
-        if not os.path.exists(path):
-            return
-        with open(path) as fh:
-            keys = json.load(fh).get(group, [])
+        entry = _read_manifest().get(group, {})
+        be = jax.default_backend()
+        keys = [k for k, b in entry.items() if b == be]
     except Exception:
         return
-    if not keys:
+    _spawn_loads(keys)
+
+
+def prefetch_all() -> None:
+    """Start loading EVERY executable the manifest records for the current
+    backend, in parallel. Hook for task entry points (gpz_tpu.init): a
+    fresh process that is about to train cannot know the exact group key
+    yet (it depends on train()-time config edits and budgets), but the
+    executables it will want are almost surely among the machine's recent
+    ones — and an executable load that is already in flight when
+    minimize() asks for it is pure saved latency (the phase-1 load is
+    otherwise unhideable: it gates the first optimizer step). Loads that
+    turn out unneeded only cost background tunnel bandwidth. Opt out with
+    GPZ_AOT_PREFETCH=0."""
+    if not enabled() or os.environ.get("GPZ_AOT_PREFETCH") == "0":
         return
-
-    def work():
-        for k in keys:
-            try:
-                load(k)
-            except Exception:
-                pass
-
-    _threading.Thread(target=work, daemon=True).start()
+    try:
+        manifest = _read_manifest()
+        be = jax.default_backend()
+        keys = {
+            k
+            for entry in manifest.values()
+            for k, b in entry.items()
+            if b == be
+        }
+    except Exception:
+        return
+    _spawn_loads(keys)
 
 
 def save(key: str, compiled) -> None:

@@ -141,6 +141,20 @@ class TrainConfig:
     # iterate — most of the descent happens in the cheap mixed phase, and
     # only the endgame pays the emulated-f64 Gram cost.
     refine: str = "auto"
+    # Noise-floor patience for the NON-FINAL mixed phase (only applied when
+    # `refine` will escalate to float64 afterwards — the final phase always
+    # runs to its own termination). The f32 surface's useful descent is
+    # front-loaded: once `phase_patience` consecutive iterations buy less
+    # than `phase_patience_tol * max(1, |f|)` total decrease, the phase is
+    # grinding rounding jaggedness the line search cannot resolve, and
+    # every further iteration both wastes wall clock AND walks the iterate
+    # along the noise floor into basins the f64 endgame then escapes via
+    # expensive requantized restarts (measured round 5: an 84-iteration
+    # mixed phase handed the refine phase a basin needing 2 restarts /
+    # ~310 f64 evals; a ~25-iteration handoff needed ~200). Dynamic
+    # operands of the compiled loop — tuning them never recompiles.
+    phase_patience: int = 10
+    phase_patience_tol: float = 2e-4
 
 
 @dataclasses.dataclass(frozen=True)

@@ -241,6 +241,15 @@ def init(
         data: gamma = sqrt(0.5 m^(1/d) / mean Dxy(Xl, P)) (init.m:61-62)
       * b = log var(Y), lnAlpha = -log var(Y) (init.m:54-55)
     """
+    # a fresh process calling init() is about to train or predict: start
+    # loading this machine's recent AOT executables NOW, in the background,
+    # so the phase-1 training executable (whose load otherwise gates the
+    # first optimizer step — it cannot be hidden under anything inside
+    # train()) deserializes under the caller's data prep instead
+    from gpz_tpu import aot as _aot
+
+    _aot.prefetch_all()
+
     X = np.asarray(X, dtype=np.float64)
     Y = np.asarray(Y, dtype=np.float64)
     if Y.ndim == 1:
@@ -406,7 +415,7 @@ def train(
     _aot.prefetch_group(aot_group)
 
     def run_phase(cfg_phase, unravel_phase, params_phase, args_phase, x0,
-                  budget, best_score0, x_best0):
+                  budget, best_score0, x_best0, patience=0):
         fun, score_fn = make_phase(cfg_phase, unravel_phase, params_phase)
         return minimize(
             fun,
@@ -426,6 +435,8 @@ def train(
             record_len=record_len,
             # live row streaming (ref callBack.m): memoized so the callback
             # identity — a static jit arg — stays stable across train() calls
+            patience=patience,
+            patience_tol=tc.phase_patience_tol,
             iter_callback=_live_printer(has_valid) if tc.verbose else None,
             # cross-process AOT executable reuse (gpz_tpu.aot): the phase
             # config + completeness flags determine exactly what the
@@ -504,11 +515,21 @@ def train(
         # score and the previous best parameters, so a run that never
         # improves keeps the old best instead of replacing it with x0
         t_phase = time.perf_counter()
+        # the noise-floor patience applies only when this phase is NOT the
+        # final-precision one (the refine schedule will escalate a plateau
+        # to float64); a final phase always runs to its own termination
+        phase1_patience = (
+            tc.phase_patience
+            if (tc.refine in ("auto", "on")
+                and jnp.dtype(cfg1.dtype) != jnp.float64)
+            else 0
+        )
         res = run_phase(
             cfg1, unravel1, params1, args1, flat1, tc.max_iter,
             (model.best.score if math.isfinite(model.best.score)
              else -jnp.inf),
             x_best1,
+            patience=phase1_patience,
         )
         # block before reading the timer: with every executable cached the
         # dispatch is fully asynchronous, and an unblocked timer records
@@ -538,11 +559,13 @@ def train(
         # Measurements: PRECISION.md; ref anchor: the reference pipeline is
         # MATLAB float64 end to end.
         from gpz_tpu.optim.lbfgs import (
-            STATUS_LS_FAILED, STATUS_NO_DESCENT, STATUS_STEP_TOO_SMALL,
+            STATUS_LS_FAILED, STATUS_NO_DESCENT, STATUS_PLATEAU,
+            STATUS_STEP_TOO_SMALL,
         )
 
         stalled = int(res.status) in (
             STATUS_STEP_TOO_SMALL, STATUS_LS_FAILED, STATUS_NO_DESCENT,
+            STATUS_PLATEAU,
         )
         opt_cond_end = float(
             np.asarray(res.trace["opt_cond"])[phase1_iterations]

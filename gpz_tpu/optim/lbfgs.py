@@ -44,6 +44,7 @@ STATUS_MAX_ITER = 3
 STATUS_EARLY_STOP = 4       # validation attempts exhausted
 STATUS_LS_FAILED = 5        # line search could not find a step
 STATUS_NO_DESCENT = 6       # directional derivative above -prog_tol
+STATUS_PLATEAU = 7          # patience window bought < patience_tol decrease
 
 
 @jax.tree_util.register_dataclass
@@ -416,6 +417,8 @@ def minimize(
     x_best0: Optional[jax.Array] = None,
     record_len: Optional[int] = None,
     iter_callback: Optional[Callable] = None,
+    patience: int = 0,
+    patience_tol: float = 0.0,
     aot_key: Optional[str] = None,
     aot_group: Optional[str] = None,
 ) -> MinimizeResult:
@@ -452,6 +455,16 @@ def minimize(
     Its identity is a static jit argument: pass a memoized function, not a
     fresh closure per call, or every call re-traces the loop.
 
+    `patience` / `patience_tol` — noise-floor plateau exit: terminate with
+    STATUS_PLATEAU when the last `patience` iterations together decreased
+    f by less than `patience_tol * max(1, |f|)`. For a phase whose
+    working precision cannot resolve further descent (the mixed phase of
+    model.train's refine schedule), grinding to a hard line-search stall
+    wastes wall clock and drifts the iterate along the rounding floor;
+    the reference has no analogue because its single phase IS the final
+    one. patience == 0 (default) disables the test. Both are DYNAMIC
+    operands: tuning them reuses the compiled executable.
+
     `aot_key` — opt-in AOT executable caching (gpz_tpu.aot): a semantic
     string capturing what `fun`/`score_fn` compute (their identities
     cannot key a cross-process cache). A repeat process with the same key,
@@ -472,14 +485,15 @@ def minimize(
     build = (
         fun, x0, args, history, max_iter, opt_tol, prog_tol, c1, c2,
         max_ls, score_fn, max_attempts, init_best_score, x_best0,
-        record_len, iter_callback,
+        record_len, iter_callback, patience, patience_tol,
     )
     if aot_key is not None and iter_callback is None:
         from gpz_tpu import aot
 
         if aot.enabled():
             dyn = (x0, args, max_iter, opt_tol, prog_tol, c1, c2,
-                   max_attempts, init_best_score, x_best0)
+                   max_attempts, init_best_score, x_best0, patience,
+                   patience_tol)
             key = aot.cache_key(
                 f"minimize:{aot_key}",
                 dyn,
@@ -503,7 +517,7 @@ def minimize(
 def _minimize(
     fun, x0, args, history, max_iter, opt_tol, prog_tol, c1, c2, max_ls,
     score_fn, max_attempts, init_best_score, x_best0, record_len,
-    iter_callback,
+    iter_callback, patience=0, patience_tol=0.0,
 ) -> MinimizeResult:
     p = x0.shape[0]
     dtype = x0.dtype
@@ -725,6 +739,28 @@ def _minimize(
         status = jnp.where(hard_fail_flat, STATUS_STEP_TOO_SMALL, status)
         status = jnp.where(hard_fail_path, STATUS_LS_FAILED, status)
         status = jnp.where(no_descent, STATUS_NO_DESCENT, status)
+        # noise-floor plateau exit (dynamic `patience` operands, see the
+        # minimize docstring): when the trailing `patience` iterations
+        # together bought less than patience_tol*max(1,|f|) of decrease,
+        # this phase's working precision is exhausted — terminate so the
+        # caller's refine schedule escalates instead of grinding. Applied
+        # only while RUNNING: a genuine termination this iteration wins.
+        f_window_ago = jnp.asarray(
+            lax.dynamic_index_in_dim(
+                s.trace["f"], jnp.maximum(it - patience, 0), keepdims=False
+            ),
+            f_new.dtype,
+        )
+        plateau = (
+            (patience > 0)
+            & (it >= patience)
+            & jnp.isfinite(f_new)
+            & (f_window_ago - f_new
+               < patience_tol * jnp.maximum(1.0, jnp.abs(f_new)))
+        )
+        status = jnp.where(
+            plateau & (status == STATUS_RUNNING), STATUS_PLATEAU, status
+        )
         status = jnp.where(it >= max_iter, jnp.where(
             status == STATUS_RUNNING, STATUS_MAX_ITER, status), status)
 

@@ -198,3 +198,42 @@ def test_history_smaller_than_iters():
     """Circular buffer wrap-around correctness."""
     res = minimize(wrap(rosenbrock), jnp.zeros(6), max_iter=500, history=5)
     np.testing.assert_allclose(np.asarray(res.x), np.ones(6), atol=1e-4)
+
+
+def test_patience_plateau_exit():
+    """Noise-floor patience (minimize's `patience`/`patience_tol`): a huge
+    tolerance turns every window into a plateau, so the loop must exit
+    with STATUS_PLATEAU after exactly `patience` iterations; patience=0
+    (the default) must leave the trajectory untouched."""
+    from gpz_tpu.optim.lbfgs import STATUS_PLATEAU
+
+    fun = wrap(rosenbrock)
+    x0 = jnp.asarray([-1.2, 1.0])
+    res = minimize(fun, x0, max_iter=500, patience=7, patience_tol=1e10)
+    assert int(res.status) == STATUS_PLATEAU
+    assert int(res.iterations) == 7
+
+    # a tolerance below the per-window descent never fires on a healthy run
+    ref = minimize(fun, x0, max_iter=500)
+    res2 = minimize(fun, x0, max_iter=500, patience=25, patience_tol=1e-12)
+    assert int(res2.status) == int(ref.status)
+    assert int(res2.iterations) == int(ref.iterations)
+    np.testing.assert_allclose(np.asarray(res2.x), np.asarray(ref.x))
+
+
+def test_patience_fires_on_quantized_floor():
+    """A coarsely quantized objective stops resolving decreases long before
+    the true optimum: the patience exit must terminate the run within
+    ~patience iterations of the floor instead of grinding the budget."""
+    from gpz_tpu.optim.lbfgs import STATUS_PLATEAU, STATUS_STEP_TOO_SMALL
+
+    q = 0.05
+
+    def quantized(x):
+        f = rosenbrock(x)
+        return jax.lax.stop_gradient(jnp.round(f / q) * q - f) + f
+
+    res = minimize(wrap(quantized), jnp.asarray([-1.2, 1.0]), max_iter=500,
+                   patience=10, patience_tol=1e-6)
+    assert int(res.status) in (STATUS_PLATEAU, STATUS_STEP_TOO_SMALL)
+    assert int(res.iterations) < 490
