@@ -111,7 +111,13 @@ def summarize(model, seconds, label):
         "seconds_total": round(seconds, 2),
         "train_seconds": round(model.fit_info["seconds"], 2),
         "phase_seconds": model.fit_info.get("phase_seconds"),
+        "phase_iterations": model.fit_info.get("phase_iterations"),
         "phase1_iterations": model.fit_info.get("phase1_iterations"),
+        # non-phase wall inside train(): host prep / inter-phase glue
+        # (f64 recast + segment trace downloads) / posterior resolution
+        "prep_seconds": model.fit_info.get("prep_seconds"),
+        "between_seconds": model.fit_info.get("between_seconds"),
+        "finalize_seconds": model.fit_info.get("finalize_seconds"),
     }
     it1 = model.fit_info.get("phase1_iterations")
     if it1 is not None:
@@ -123,12 +129,17 @@ def summarize(model, seconds, label):
 
 
 def time_to_target(f, fev, total_seconds, total_evals, target, tol,
-                   phase_seconds=None, phase1_iterations=None):
+                   phase_seconds=None, phase1_iterations=None,
+                   phase_iterations=None):
     """Seconds until the trace first reaches target (+tol), attributing wall
-    clock by cumulative objective evals. With the two-phase schedule the
-    phases' per-eval costs differ ~8x (mixed ~22 ms vs f64 ~188 ms;
-    PRECISION.md §5-6), so when phase timings are available each phase's
-    wall is attributed uniformly over ITS OWN evals instead of pooling."""
+    clock by cumulative objective evals. The phases' per-eval costs differ
+    ~8x (mixed ~22 ms vs f64 ~188 ms; PRECISION.md §5-6), so when phase
+    timings are available each phase's wall is attributed uniformly over
+    ITS OWN evals instead of pooling — `phase_iterations` (fit_info) gives
+    the per-phase iteration counts; in the stitched trace phase p spans
+    [sum(it_j)+p .. sum(it_j)+p+it_p] (each later phase contributes its
+    row-0 re-eval of the previous phase's final iterate, model.py
+    stitch_phase_traces)."""
     hit = np.nonzero(f <= target + tol)[0]
     if len(hit) == 0:
         return None
@@ -139,17 +150,26 @@ def time_to_target(f, fev, total_seconds, total_evals, target, tol,
     # attribution instead of producing garbage seconds (ADVICE r3 #1)
     fev_ok = i < len(fev) and bool(np.all(np.asarray(fev[: i + 1]) >= 0))
     if (
-        phase_seconds is not None and len(phase_seconds) == 2
-        and phase1_iterations is not None
+        phase_seconds is not None
+        and phase_iterations is not None
+        and len(phase_seconds) == len(phase_iterations)
         and fev_ok
     ):
-        it1 = int(phase1_iterations)
-        fe1 = float(fev[it1])
-        fe_end = float(total_evals)
-        if i <= it1:
-            return phase_seconds[0] * float(fev[i]) / max(fe1, 1.0)
-        frac2 = (float(fev[i]) - fe1) / max(fe_end - fe1, 1.0)
-        return phase_seconds[0] + phase_seconds[1] * frac2
+        start = 0  # stitched index where the current phase's row 0 sits
+        total = 0.0
+        for p, (secs, its) in enumerate(zip(phase_seconds,
+                                            phase_iterations)):
+            end = start + int(its)
+            if i <= end:
+                fe_start = float(fev[start])
+                fe_end = float(fev[end])
+                frac = (float(fev[i]) - fe_start) / max(fe_end - fe_start,
+                                                        1.0)
+                return total + secs * frac
+            total += secs
+            start = end + 1  # skip the next phase's row-0 re-eval
+        # hit beyond the recorded phases (inconsistent metadata): fall
+        # through to the pooled attribution below
     if fev_ok:
         evals_at = float(fev[i])
     else:
@@ -219,6 +239,7 @@ def main():
             f, fev, out["train_seconds"], out["fun_evals"], tgt, tol,
             phase_seconds=out.get("phase_seconds"),
             phase1_iterations=out.get("phase1_iterations"),
+            phase_iterations=out.get("phase_iterations"),
         )
         out["target_nlml"] = tgt
         out["reached_target"] = t_hit is not None
@@ -263,6 +284,7 @@ def main():
                 f, fev, out["train_seconds"], out["fun_evals"], tgt, tol,
                 phase_seconds=out.get("phase_seconds"),
                 phase1_iterations=out.get("phase1_iterations"),
+                phase_iterations=out.get("phase_iterations"),
             )
             out["target_nlml"] = tgt
             out["reached_target"] = t_hit is not None

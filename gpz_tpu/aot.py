@@ -163,10 +163,10 @@ def _manifest_path() -> str:
 
 
 def _read_manifest() -> dict:
-    """Manifest as {group: {key: backend}}. Migrates the v1 flat format
-    ({group: [keys]}) by assuming the current backend wrote those keys —
-    correct for a single-backend machine, and the only cost of a wrong
-    guess is one failed (non-destructive) prefetch."""
+    """Manifest as {group: {key: {"backend": b, "fp": fingerprint|None}}}.
+    Migrates older formats (v1 flat {group: [keys]}, v2 {group: {key:
+    backend}}) with backend guessed as current / fp unknown — the only
+    cost of a wrong guess is one failed (non-destructive) prefetch."""
     import json
 
     path = _manifest_path()
@@ -181,9 +181,12 @@ def _read_manifest() -> dict:
     out = {}
     for group, entry in raw.items():
         if isinstance(entry, list):  # v1
-            out[group] = {k: be for k in entry}
+            out[group] = {k: {"backend": be, "fp": None} for k in entry}
         elif isinstance(entry, dict):
-            out[group] = dict(entry)
+            out[group] = {
+                k: (v if isinstance(v, dict) else {"backend": v, "fp": None})
+                for k, v in entry.items()
+            }
     return out
 
 
@@ -197,11 +200,12 @@ def note_group(group: str, key: str) -> None:
 
     try:
         os.makedirs(_dir(), exist_ok=True)
+        entry = {"backend": jax.default_backend(), "fp": code_fingerprint()}
         with _LOCK:
             manifest = _read_manifest()
             keys = manifest.setdefault(group, {})
-            if keys.get(key) != jax.default_backend():
-                keys[key] = jax.default_backend()
+            if keys.get(key) != entry:
+                keys[key] = entry
                 path = _manifest_path()
                 tmp = path + ".tmp"
                 with open(tmp, "w") as fh:
@@ -240,11 +244,22 @@ def prefetch_group(group: str) -> None:
         return
     try:
         entry = _read_manifest().get(group, {})
-        be = jax.default_backend()
-        keys = [k for k, b in entry.items() if b == be]
+        keys = [k for k, v in entry.items() if _loadable(v)]
     except Exception:
         return
     _spawn_loads(keys)
+
+
+def _loadable(meta: dict) -> bool:
+    """Skip prefetching executables another backend wrote or that a since-
+    edited code version produced (their exact keys can never be requested
+    again — the fingerprint is part of the key — but the dead files would
+    otherwise be unpickled speculatively by every prefetch, and the dead
+    TRAINING executables run to hundreds of MB)."""
+    if meta.get("backend") != jax.default_backend():
+        return False
+    fp = meta.get("fp")
+    return fp is None or fp == code_fingerprint()
 
 
 def prefetch_all() -> None:
@@ -262,12 +277,11 @@ def prefetch_all() -> None:
         return
     try:
         manifest = _read_manifest()
-        be = jax.default_backend()
         keys = {
             k
             for entry in manifest.values()
-            for k, b in entry.items()
-            if b == be
+            for k, v in entry.items()
+            if _loadable(v)
         }
     except Exception:
         return
@@ -305,16 +319,32 @@ def call_or_build(
     Returns the outputs; falls back to the plain jit call on any miss
     that cannot be built (or when key is None).
     """
+    dbg = os.environ.get("GPZ_AOT_DEBUG") == "1"
     if key is None or not enabled():
         return jitted(*build_args)
+    import time as _time
+
+    t0 = _time.perf_counter()
     compiled = load(key)
+    if dbg:
+        print(f"[aot] load({key[:8]}) -> {compiled is not None} "
+              f"in {_time.perf_counter() - t0:.2f}s", flush=True)
     if compiled is None:
         try:
+            t0 = _time.perf_counter()
             compiled = jitted.lower(*build_args).compile()
+            if dbg:
+                print(f"[aot] build({key[:8]}) in "
+                      f"{_time.perf_counter() - t0:.2f}s", flush=True)
             save(key, compiled)
-        except Exception:
+        except Exception as e:
+            if dbg:
+                print(f"[aot] build failed ({key[:8]}): {e!r}", flush=True)
             return jitted(*build_args)
     try:
         return compiled(*call_args)
-    except Exception:
+    except Exception as e:
+        if dbg:
+            print(f"[aot] compiled call failed ({key[:8]}): {e!r}",
+                  flush=True)
         return jitted(*build_args)

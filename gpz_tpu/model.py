@@ -510,6 +510,7 @@ def train(
         if profile_dir
         else contextlib.nullcontext()
     )
+    prep_seconds = round(time.perf_counter() - t_start, 2)
     with prof_cm:
         # continuation (ref train.m:8-11): thread BOTH the previous best
         # score and the previous best parameters, so a run that never
@@ -535,9 +536,15 @@ def train(
         # dispatch is fully asynchronous, and an unblocked timer records
         # ~0 s while the execution leaks into the next phase's wall
         jax.block_until_ready(res.x)
+        t_between = time.perf_counter()
+        between_seconds = 0.0  # wall between phase timers (diagnostic)
         phase_seconds = [round(time.perf_counter() - t_phase, 2)]
         phase_modes = [f"{cfg1.dtype}/{cfg1.resolved_solve_mode()}"]
         phase1_iterations = int(res.iterations)
+        # per-phase iteration counts, parallel to phase_seconds — the
+        # boundary indices let wall-clock be attributed to the exact phase
+        # that spent it (bench_convergence.time_to_target)
+        phase_iterations = [phase1_iterations]
         # completed (trace, iterations) segments awaiting stitching: the
         # mixed phase plus any fresh-memory f64 restarts before the final one
         pending_segments = []
@@ -612,16 +619,19 @@ def train(
             # genuine optimum survives requantization) or the cap hits.
             while True:
                 t_phase = time.perf_counter()
+                between_seconds += t_phase - t_between
                 res = run_phase(
                     cfg64, unravel64, params64, args64, flat64, remaining,
                     best_score64, x_best64,
                 )
                 jax.block_until_ready(res.x)
-                phase_seconds.append(round(time.perf_counter() - t_phase, 2))
+                t_between = time.perf_counter()
+                phase_seconds.append(round(t_between - t_phase, 2))
                 phase_modes.append(
                     f"{cfg64.dtype}/{cfg64.resolved_solve_mode()}"
                 )
                 seg_iters = int(res.iterations)
+                phase_iterations.append(seg_iters)
                 remaining -= seg_iters
                 f_seg = np.asarray(res.trace["f"])
                 f_start, f_end2 = float(f_seg[0]), float(res.f)
@@ -671,6 +681,7 @@ def train(
             score=score,
         )
 
+    t_finalize = time.perf_counter()
     last = resolve(res.x, float(res.best_score) if not has_valid else -math.inf)
     best = resolve(res.x_best, float(res.best_score))
 
@@ -693,7 +704,15 @@ def train(
             None if not pending_segments else phase1_iterations
         ),
         "phase_seconds": phase_seconds,
+        "phase_iterations": phase_iterations,
         "phase_modes": phase_modes,
+        # wall outside the optimizer phases: host data prep + device
+        # transfers before phase 1, posterior/prior resolution + trace
+        # stitching after the last phase — diagnostic for the fresh-process
+        # budget (the phases are where seconds_to_target is spent)
+        "prep_seconds": prep_seconds,
+        "between_seconds": round(between_seconds, 2),
+        "finalize_seconds": round(time.perf_counter() - t_finalize, 2),
         "solve_probe": probe_info,
         "seconds": time.perf_counter() - t_start,
         "trace": trace,
