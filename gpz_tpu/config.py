@@ -147,12 +147,14 @@ class TrainConfig:
     # front-loaded: once `phase_patience` consecutive iterations buy less
     # than `phase_patience_tol * max(1, |f|)` total decrease, the phase is
     # grinding rounding jaggedness the line search cannot resolve, and
-    # every further iteration both wastes wall clock AND walks the iterate
-    # along the noise floor into basins the f64 endgame then escapes via
-    # expensive requantized restarts (measured round 5: an 84-iteration
-    # mixed phase handed the refine phase a basin needing 2 restarts /
-    # ~310 f64 evals; a ~25-iteration handoff needed ~200). Dynamic
-    # operands of the compiled loop — tuning them never recompiles.
+    # every further iteration both wastes wall clock AND can walk the
+    # iterate into basins the f64 endgame then escapes via expensive
+    # requantized restarts. Measured on the north star (round 5,
+    # PRECISION.md §9): the shipped defaults do NOT fire there — the mixed
+    # phase keeps descending >= 1e-3/10 iterations to its hard stall — so
+    # they exist as a guard for genuinely glacial phases, not as an active
+    # part of the shipped trajectory. patience=0 statically removes the
+    # check from the compiled loop.
     phase_patience: int = 10
     phase_patience_tol: float = 2e-4
 

@@ -462,8 +462,10 @@ def minimize(
     model.train's refine schedule), grinding to a hard line-search stall
     wastes wall clock and drifts the iterate along the rounding floor;
     the reference has no analogue because its single phase IS the final
-    one. patience == 0 (default) disables the test. Both are DYNAMIC
-    operands: tuning them reuses the compiled executable.
+    one. patience == 0 (default) statically removes the test from the
+    traced program (the common single-phase/final-phase programs carry
+    zero extra ops); both values are static jit arguments, so changing
+    them compiles a fresh loop.
 
     `aot_key` — opt-in AOT executable caching (gpz_tpu.aot): a semantic
     string capturing what `fun`/`score_fn` compute (their identities
@@ -492,12 +494,12 @@ def minimize(
 
         if aot.enabled():
             dyn = (x0, args, max_iter, opt_tol, prog_tol, c1, c2,
-                   max_attempts, init_best_score, x_best0, patience,
-                   patience_tol)
+                   max_attempts, init_best_score, x_best0)
             key = aot.cache_key(
                 f"minimize:{aot_key}",
                 dyn,
-                (history, max_ls, record_len, score_fn is not None),
+                (history, max_ls, record_len, score_fn is not None,
+                 patience, patience_tol),
             )
             if aot_group is not None:
                 # record the key under the caller's task group so the next
@@ -511,7 +513,7 @@ def minimize(
     jax.jit,
     static_argnames=(
         "fun", "score_fn", "history", "max_ls", "record_len",
-        "iter_callback",
+        "iter_callback", "patience", "patience_tol",
     ),
 )
 def _minimize(
@@ -739,28 +741,32 @@ def _minimize(
         status = jnp.where(hard_fail_flat, STATUS_STEP_TOO_SMALL, status)
         status = jnp.where(hard_fail_path, STATUS_LS_FAILED, status)
         status = jnp.where(no_descent, STATUS_NO_DESCENT, status)
-        # noise-floor plateau exit (dynamic `patience` operands, see the
-        # minimize docstring): when the trailing `patience` iterations
-        # together bought less than patience_tol*max(1,|f|) of decrease,
-        # this phase's working precision is exhausted — terminate so the
-        # caller's refine schedule escalates instead of grinding. Applied
-        # only while RUNNING: a genuine termination this iteration wins.
-        f_window_ago = jnp.asarray(
-            lax.dynamic_index_in_dim(
-                s.trace["f"], jnp.maximum(it - patience, 0), keepdims=False
-            ),
-            f_new.dtype,
-        )
-        plateau = (
-            (patience > 0)
-            & (it >= patience)
-            & jnp.isfinite(f_new)
-            & (f_window_ago - f_new
-               < patience_tol * jnp.maximum(1.0, jnp.abs(f_new)))
-        )
-        status = jnp.where(
-            plateau & (status == STATUS_RUNNING), STATUS_PLATEAU, status
-        )
+        if patience:
+            # noise-floor plateau exit (static `patience` knobs, see the
+            # minimize docstring): when the trailing `patience` iterations
+            # together bought less than patience_tol*max(1,|f|) of
+            # decrease, this phase's working precision is exhausted —
+            # terminate so the caller's refine schedule escalates instead
+            # of grinding. Applied only while RUNNING: a genuine
+            # termination this iteration wins. patience == 0 removes the
+            # block from the traced program entirely.
+            f_window_ago = jnp.asarray(
+                lax.dynamic_index_in_dim(
+                    s.trace["f"], jnp.maximum(it - patience, 0),
+                    keepdims=False,
+                ),
+                f_new.dtype,
+            )
+            plateau = (
+                (it >= patience)
+                & jnp.isfinite(f_new)
+                & (f_window_ago - f_new
+                   < patience_tol * jnp.maximum(1.0, jnp.abs(f_new)))
+            )
+            status = jnp.where(
+                plateau & (status == STATUS_RUNNING), STATUS_PLATEAU,
+                status,
+            )
         status = jnp.where(it >= max_iter, jnp.where(
             status == STATUS_RUNNING, STATUS_MAX_ITER, status), status)
 
